@@ -1,0 +1,144 @@
+"""Typed configuration tree.
+
+Replaces the reference's ambient ``tf.app.flags`` singleton
+(/root/reference/model/hourglass_um_crop_tiny.py:29-62) and the hyperparameter
+class attributes of ``JointDetectionModel`` (ibid.:67-92) with explicit,
+hashable dataclasses that can be passed through ``jax.jit`` as static
+arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class CameraConfig(NamedTuple):
+    """Pinhole intrinsics ``(fx, fy, cx, cy, w, h)``.
+
+    Mirrors the reference namedtuple (/root/reference/data/util.py:9).  For
+    per-sample (post-crop) intrinsics the same six numbers travel as a
+    ``(b, 6)`` float array; :func:`as_array` converts.
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    w: float
+    h: float
+
+    def as_array(self, dtype=jnp.float32):
+        return jnp.asarray(self, dtype=dtype)
+
+
+# Constants shared with the reference preprocessing
+# (/root/reference/data/preprocess.py:172-174).
+D_RANGE = 300.0          # depth-normalization window size (mm)
+POSE_NORM_RATIO = 100.0  # xyz pose normalization divisor (mm -> units)
+PCA_NORM_RATIO = 5.0     # optional PCA-space normalization (unused hook)
+
+# Cone radii for GT heatmaps
+# (/root/reference/model/hourglass_um_crop_tiny.py:193-194).
+MAX_DIST_2D = 4.0        # pixels
+MAX_DIST_3D = 0.8        # normalized units (= 80 mm)
+
+MAXIMUM_DEPTH = 600.0    # ibid.:64
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """Architecture of the stacked-hourglass detector.
+
+    Matches the knobs of /root/reference/network/um_v1.py driven by
+    ``FLAGS.num_stack/num_fea/kernel_size``.
+    """
+
+    num_stack: int = 2
+    num_fea: int = 128
+    kernel_size: int = 3
+    num_joint: int = 16
+    input_hw: Tuple[int, int] = (128, 128)
+    # dtype used for conv compute; params/stats always float32.
+    compute_dtype: str = "float32"
+    dropout_rate: float = 0.5
+    # Batch-renorm hyperparameters (/root/reference/network/slim/ops.py:42-166
+    # plus the per-layer arg_scope at /root/reference/network/um_v1.py:9-12).
+    bn_decay: float = 0.99
+    bn_epsilon: float = 1e-3
+    renorm_rmax: float = 3.0
+    renorm_dmax: float = 5.0
+    renorm_t_delta: float = 1e-5
+
+    @property
+    def output_hw(self) -> Tuple[int, int]:
+        return (self.input_hw[0] // 4, self.input_hw[1] // 4)
+
+    @property
+    def hourglass_depth(self) -> int:
+        # 128 -> 4, 256 -> 5, 512 -> 6 (/root/reference/network/um_v1.py:99-107)
+        side = self.input_hw[0]
+        if side == 128:
+            return 4
+        if side == 256:
+            return 5
+        if side == 512:
+            return 6
+        raise ValueError(f"unsupported input size {self.input_hw}")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule.
+
+    Mirrors the reference trainer (/root/reference/model/train_single_gpu.py)
+    and model hyperparams (/root/reference/model/hourglass_um_crop_tiny.py:67-92).
+    """
+
+    batch_size: int = 40
+    sub_batch: int = 5            # gradient-accumulation micro steps
+    epochs: int = 80
+    init_lr: float = 1e-3
+    lr_decay_factor: float = 0.1
+    # The reference only sets this for nyu (10) and msra (20) and would crash
+    # for icvl (latent bug, hourglass_um_crop_tiny.py:70-74); we default it.
+    epochs_per_decay: int = 10
+    adam_beta1: float = 0.5
+    grad_clip_value: float = 0.2  # elementwise clip after averaging
+    weight_decay: float = 5e-4    # conv-kernel L2, um_v1.py:35
+    augment: bool = True
+    seed: int = 0
+    # logging / checkpoint cadence (train_single_gpu.py:154-175)
+    log_every: int = 5
+    summary_every: int = 20
+    validate_every: int = 40
+    checkpoint_every: int = 100
+    base_dir: str = "./exp/train_cache/"
+    # data parallel axis name for shard_map
+    data_axis: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Decode / evaluation settings
+    (/root/reference/model/hourglass_um_crop_tiny.py:598-785)."""
+
+    batch_size: int = 40
+    num_candidates: int = 5
+    mean_shift_iters: int = 10
+    band_width: float = 0.4
+    vote_grid: int = 4            # 4x4x4 quantized voting grid
+    use_pallas: bool = False      # fused decode kernel (jnp fallback otherwise)
+
+
+def model_desc(dataset_name: str, subset: str, net: NetConfig, augment: bool,
+               net_name: str = "um_v1") -> str:
+    """Checkpoint-namespace convention
+    ``<dataset>_<subset>_s<stack>_f<fea>[_daug]_<net>``
+    (/root/reference/model/hourglass_um_crop_tiny.py:115-117,533-539)."""
+    desc = f"{dataset_name}_{subset}_s{net.num_stack}_f{net.num_fea}"
+    if augment:
+        desc += "_daug"
+    return f"{desc}_{net_name}"

@@ -1,0 +1,5 @@
+from densereg_tpu.models.layers import BatchRenorm, ConvBR, Residual
+from densereg_tpu.models.hourglass import DenseRegNet, renorm_clip_schedule
+
+__all__ = ["BatchRenorm", "ConvBR", "Residual", "DenseRegNet",
+           "renorm_clip_schedule"]

@@ -1,0 +1,187 @@
+"""NN building blocks: batch renormalization, conv wrapper, bottleneck residual.
+
+Functional re-design of the vendored slim fork (/root/reference/network/slim/
+ops.py).  The reference's batch "norm" is actually Batch RENORM with a
+per-step r/d clip schedule held in mutable graph variables (ops.py:42-185);
+here the moving statistics live in Flax's ``batch_stats`` collection and the
+schedule is a pure function of the global step (see
+:func:`densereg_tpu.models.hourglass.renorm_clip_schedule`), threaded through
+the jitted train step explicitly — no hidden mutable state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchRenorm(nn.Module):
+    """Batch renormalization (Ioffe 2017) exactly as the reference's
+    ``slim.ops.batch_norm`` (/root/reference/network/slim/ops.py:42-185):
+
+    train:  y = ((x - mu_B)/sigma_B * r + d) * gamma + beta
+            r = sg[clip(sigma_B / sigma_mov, 1/r_max, r_max)]
+            d = sg[clip((mu_B - mu_mov) / sigma_mov, -d_max, d_max)]
+            moving stats <- decay * moving + (1-decay) * batch
+    eval:   y = (x - mu_mov)/sigma_mov * gamma + beta
+
+    ``r_max``/``d_max`` are passed per call (they follow a global schedule,
+    ops.py:141-153) instead of living in per-layer non-trainable variables.
+    """
+
+    decay: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, r_max=None, d_max=None):
+        c = x.shape[-1]
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+
+            std = jnp.sqrt(var + self.epsilon)
+            mov_std = jnp.sqrt(ra_var.value + self.epsilon)
+            if r_max is None:
+                r = jnp.ones_like(std)
+                d = jnp.zeros_like(mean)
+            else:
+                r = jax.lax.stop_gradient(
+                    jnp.clip(std / mov_std, 1.0 / r_max, r_max))
+                d = jax.lax.stop_gradient(
+                    jnp.clip((mean - ra_mean.value) / mov_std, -d_max, d_max))
+
+            y = (xf - mean) / std * r + d
+
+            if not self.is_initializing():
+                ra_mean.value = (self.decay * ra_mean.value
+                                 + (1.0 - self.decay) * mean)
+                ra_var.value = (self.decay * ra_var.value
+                                + (1.0 - self.decay) * var)
+        else:
+            mov_std = jnp.sqrt(ra_var.value + self.epsilon)
+            y = (xf - ra_mean.value) / mov_std
+
+        y = y * gamma + beta
+        return y.astype(self.dtype)
+
+
+def _trunc_normal(stddev):
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class ConvBR(nn.Module):
+    """conv -> [batch renorm | bias] -> [activation], the reference's
+    ``slim.ops.conv2d`` (/root/reference/network/slim/ops.py:219-299).
+
+    Weights init: truncated normal stddev=0.01; bias init 0.  Weight decay is
+    NOT baked in here — the trainer computes the L2 penalty over conv kernels
+    explicitly (see densereg_tpu.train.state.weight_decay_loss), matching the
+    reference's REGULARIZATION_LOSSES collection.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    use_bn: bool = True
+    activation: Optional[Callable] = nn.relu
+    stddev: float = 0.01
+    bn_decay: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, r_max=None, d_max=None):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=not self.use_bn,
+            kernel_init=_trunc_normal(self.stddev),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = BatchRenorm(decay=self.bn_decay, epsilon=self.bn_epsilon,
+                            dtype=self.dtype, name="bn")(
+                x, train=train, r_max=r_max, d_max=d_max)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class Residual(nn.Module):
+    """Bottleneck residual (/root/reference/network/um_v1.py:18-48):
+    1x1 (in/2) -> kxk (in/2) -> 1x1 (out), each conv+renorm+relu, plus an
+    identity shortcut (or a 1x1 conv+renorm+relu projection when the channel
+    count changes).  The sum itself has no activation.
+    """
+
+    features: Optional[int] = None
+    kernel_size: int = 3
+    bn_decay: float = 0.99
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, r_max=None, d_max=None):
+        num_in = x.shape[-1]
+        num_out = self.features if self.features is not None else num_in
+        half = num_in // 2
+        kw = dict(train=train, r_max=r_max, d_max=d_max)
+        conv = lambda f, k, name: ConvBR(
+            f, (k, k), bn_decay=self.bn_decay, bn_epsilon=self.bn_epsilon,
+            dtype=self.dtype, name=name)
+        y = conv(half, 1, "conv1")(x, **kw)
+        y = conv(half, self.kernel_size, "conv2")(y, **kw)
+        y = conv(num_out, 1, "conv3")(y, **kw)
+        if num_out == num_in:
+            s = x
+        else:
+            s = conv(num_out, 1, "shortcut")(x, **kw)
+        return y + s
+
+
+def max_pool_same(x, window: int, stride: int):
+    """Max pool with SAME padding (slim ``ops.max_pool``,
+    /root/reference/network/slim/ops.py:640-670)."""
+    h, w = x.shape[-3], x.shape[-2]
+    out_h = -(-h // stride)
+    out_w = -(-w // stride)
+    pad_h = max((out_h - 1) * stride + window - h, 0)
+    pad_w = max((out_w - 1) * stride + window - w, 0)
+    pads = [(0, 0)] * (x.ndim - 3) + [
+        (pad_h // 2, pad_h - pad_h // 2),
+        (pad_w // 2, pad_w - pad_w // 2),
+        (0, 0),
+    ]
+    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg_inf, jax.lax.max,
+        window_dimensions=(1,) * (x.ndim - 3) + (window, window, 1),
+        window_strides=(1,) * (x.ndim - 3) + (stride, stride, 1),
+        padding=[(0, 0)] * (x.ndim - 3) + pads[-3:],
+    )
+
+
+def upsample_nearest_2x(x):
+    """Nearest x2 upsample (slim ``ops.upsampling_nearest``,
+    /root/reference/network/slim/ops.py:671-677)."""
+    b = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    x = jnp.broadcast_to(x[..., :, None, :, None, :], b + (h, 2, w, 2, c))
+    return x.reshape(b + (2 * h, 2 * w, c))
