@@ -1,0 +1,111 @@
+"""Benchmark harness.
+
+Measures end-to-end inference throughput (normalize -> stacked hourglass
+s2/f128 -> vote decode) in frames/sec/chip at serving batch 256 on the
+available accelerator — BASELINE.json config #5 ("fused
+preprocess->infer->vote serving at batch 256").
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.json.published
+is empty; see BASELINE.md) — its training/test logs sec/batch on CPU only.
+The north-star is ">=20x frames/sec/chip over the CPU baseline", so we
+measure the SAME program on the local CPU backend (small batch, extrapolated
+per-frame) and report accelerator_fps / cpu_fps.  If no CPU backend is
+available the stored constant from exp/cpu_baseline.json is used.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "4"))
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "exp",
+                             "cpu_baseline.json")
+
+
+def _build(batch, compute_dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu import geometry
+    from densereg_tpu.config import CameraConfig, EvalConfig, NetConfig
+    from densereg_tpu.eval.loop import make_infer_fn
+    from densereg_tpu.models import DenseRegNet
+
+    net_cfg = NetConfig(num_stack=2, num_fea=128, num_joint=16,
+                        input_hw=(128, 128), compute_dtype=compute_dtype)
+    net = DenseRegNet(net_cfg)
+    rng = np.random.default_rng(0)
+    dms = jnp.asarray(
+        rng.uniform(300.0, 500.0, (batch, 128, 128, 1)).astype(np.float32))
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 128, 128, 1)), train=False)
+    icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+    cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), 128, 128)[None],
+                    (batch, 1))
+    coms = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32), (batch, 1))
+    infer = make_infer_fn(net_cfg, EvalConfig(batch_size=batch))
+    return infer, variables, dms, cfgs, coms
+
+
+def _measure(device, batch, compute_dtype, iters=10, warmup=2):
+    import jax
+
+    with jax.default_device(device):
+        infer, variables, dms, cfgs, coms = _build(batch, compute_dtype)
+        out = infer(variables, dms, cfgs, coms)
+        out.block_until_ready()
+        for _ in range(warmup - 1):
+            infer(variables, dms, cfgs, coms).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(variables, dms, cfgs, coms)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    on_accel = dev.platform != "cpu"
+    value = _measure(dev, BATCH if on_accel else CPU_BATCH,
+                     "bfloat16" if on_accel else "float32",
+                     iters=10 if on_accel else 2)
+
+    cpu_fps = None
+    if on_accel:
+        try:
+            cpu = jax.devices("cpu")[0]
+            cpu_fps = _measure(cpu, CPU_BATCH, "float32", iters=2, warmup=1)
+            os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump({"cpu_fps": cpu_fps, "batch": CPU_BATCH}, f)
+        except Exception:
+            cpu_fps = None
+    if cpu_fps is None and os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            cpu_fps = json.load(f).get("cpu_fps")
+    vs = (value / cpu_fps) if cpu_fps else 1.0
+
+    print(json.dumps({
+        "metric": "ICVL-style serving throughput (norm+hourglass s2f128"
+                  "+vote decode, batch %d, %s)" % (
+                      BATCH if on_accel else CPU_BATCH, dev.platform),
+        "value": round(value, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""CLI entry points.
+
+Replaces the reference's flag-driven ``__main__``
+(/root/reference/model/hourglass_um_crop_tiny.py:29-62,885-909) with argparse
+subcommands over the typed config tree:
+
+    python -m densereg_tpu.cli.main train --dataset icvl --epoch 80 ...
+    python -m densereg_tpu.cli.main test  --dataset msra --pid 3
+    python -m densereg_tpu.cli.main convert --dataset nyu --subset training
+
+Flag names/defaults match the reference surface: --dataset
+{icvl,nyu,msra,bighand,synthetic}, --batch_size 40, --sub_batch 5, --pid,
+--epoch 80, --num_stack 2, --num_fea 128, --kernel_size 3, --is_aug.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from densereg_tpu.config import EvalConfig, NetConfig, TrainConfig
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="nyu",
+                   choices=["icvl", "nyu", "msra", "bighand", "synthetic"])
+    p.add_argument("--data_dir", default=None,
+                   help="dataset root (defaults to the reference layout)")
+    p.add_argument("--pid", type=int, default=0, help="msra subject id")
+    p.add_argument("--batch_size", type=int, default=40)
+    p.add_argument("--sub_batch", type=int, default=5)
+    p.add_argument("--num_stack", type=int, default=2)
+    p.add_argument("--num_fea", type=int, default=128)
+    p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--epoch", type=int, default=80)
+    p.add_argument("--is_aug", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--base_dir", default="./exp/train_cache/")
+    p.add_argument("--mesh", action=argparse.BooleanOptionalAction,
+                   default=True, help="shard the batch over all devices")
+
+
+def _specs(args, subset_train="training", subset_test="testing"):
+    from densereg_tpu.data.base import get_dataset
+
+    kwargs = {}
+    if args.data_dir:
+        kwargs["directory"] = args.data_dir
+    if args.dataset == "msra":
+        kwargs["pid"] = args.pid
+    train_spec = get_dataset(args.dataset, subset_train, **kwargs)
+    test_spec = get_dataset(args.dataset, subset_test, **kwargs)
+    return train_spec, test_spec
+
+
+def _configs(args, jnt_num):
+    epochs_per_decay = {"nyu": 10, "msra": 20}.get(args.dataset, 10)
+    net = NetConfig(num_stack=args.num_stack, num_fea=args.num_fea,
+                    kernel_size=args.kernel_size, num_joint=jnt_num,
+                    compute_dtype=args.compute_dtype)
+    tcfg = TrainConfig(batch_size=args.batch_size, sub_batch=args.sub_batch,
+                       epochs=args.epoch, augment=args.is_aug,
+                       epochs_per_decay=epochs_per_decay,
+                       base_dir=args.base_dir)
+    return net, tcfg
+
+
+def _mesh(args):
+    if not args.mesh:
+        return None
+    import jax
+    from densereg_tpu.parallel import make_mesh
+    if len(jax.devices()) <= 1:
+        return None
+    return make_mesh()
+
+
+def cmd_train(args) -> int:
+    from densereg_tpu.train.loop import train
+
+    train_spec, val_spec = _specs(args)
+    net, tcfg = _configs(args, train_spec.jnt_num)
+    train(train_spec, net, tcfg, val_spec=val_spec,
+          restore_step=args.restore_step, mesh=_mesh(args),
+          max_steps=args.max_steps)
+    return 0
+
+
+def cmd_test(args) -> int:
+    from densereg_tpu.train.loop import test
+
+    train_spec, test_spec = _specs(args)
+    net, tcfg = _configs(args, test_spec.jnt_num)
+    ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas)
+    test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
+         mesh=_mesh(args), train_spec=train_spec)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    if args.dataset == "icvl":
+        from densereg_tpu.data import icvl
+        icvl.convert(args.data_dir or icvl.DEFAULT_DIR, args.subset,
+                     args.num_threads)
+    elif args.dataset == "nyu":
+        from densereg_tpu.data import nyu
+        nyu.convert(args.data_dir or nyu.DEFAULT_DIR, args.subset,
+                    args.num_threads)
+    elif args.dataset == "msra":
+        from densereg_tpu.data import msra
+        for pid in ([args.pid] if args.pid >= 0 else range(msra.NUM_PIDS)):
+            msra.convert(args.data_dir or msra.DEFAULT_DIR, pid,
+                         args.num_threads)
+    elif args.dataset == "synthetic":
+        from densereg_tpu.data import synthetic
+        synthetic.ensure_shards(args.data_dir or synthetic.DEFAULT_DIR,
+                                args.subset)
+    else:
+        raise SystemExit(f"no converter for {args.dataset}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="densereg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train a model")
+    _add_common(pt)
+    pt.add_argument("--restore_step", type=int, default=None)
+    pt.add_argument("--max_steps", type=int, default=None)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("test", help="evaluate a checkpoint on the test split")
+    _add_common(pe)
+    pe.add_argument("--selected_step", type=int, default=-1,
+                    help="-1 = latest checkpoint")
+    pe.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                    default=False)
+    pe.set_defaults(fn=cmd_test)
+
+    pc = sub.add_parser("convert", help="convert source datasets to shards")
+    pc.add_argument("--dataset", required=True,
+                    choices=["icvl", "nyu", "msra", "synthetic"])
+    pc.add_argument("--subset", default="training")
+    pc.add_argument("--data_dir", default=None)
+    pc.add_argument("--pid", type=int, default=-1,
+                    help="msra subject (-1 = all)")
+    pc.add_argument("--num_threads", type=int, default=8)
+    pc.set_defaults(fn=cmd_convert)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,15 +78,13 @@ class NetConfig:
 
     @property
     def hourglass_depth(self) -> int:
-        # 128 -> 4, 256 -> 5, 512 -> 6 (/root/reference/network/um_v1.py:99-107)
-        side = self.input_hw[0]
-        if side == 128:
-            return 4
-        if side == 256:
-            return 5
-        if side == 512:
-            return 6
-        raise ValueError(f"unsupported input size {self.input_hw}")
+        # 128 -> 4, 256 -> 5, 512 -> 6 (/root/reference/network/um_v1.py:99-107);
+        # we additionally admit 32 -> 2 and 64 -> 3 (same rule: bottom of the
+        # hourglass is a 2x2 map) for fast tests and small deployments.
+        depth = {32: 2, 64: 3, 128: 4, 256: 5, 512: 6}.get(self.input_hw[0])
+        if depth is None:
+            raise ValueError(f"unsupported input size {self.input_hw}")
+        return depth
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,184 @@
+"""Host input pipelines.
+
+The reference feeds its graph through TF queue runners — filename queue +
+RandomShuffleQueue + reader threads (/root/reference/data/dataset_base.py:
+151-237).  The TPU-native replacement: a background host thread assembles
+raw full-frame numpy batches from npz shards; the (crop, center-of-mass)
+preprocessing then runs as ONE jitted static-shape program on device (see
+densereg_tpu.preprocess); batches are finally laid out for the train step's
+``(sub_batch, batch, ...)`` accumulation axis and, under a mesh, scattered
+with a ``NamedSharding``.
+
+Raw host->device traffic per micro batch is tiny (a 320x240 uint16 frame is
+150 KB) and overlaps with compute through the prefetch queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu.data.base import DatasetSpec
+from densereg_tpu.preprocess import (
+    preprocess_batch_from_bbx,
+    preprocess_batch_from_pose,
+)
+
+
+def _load_frames(reader, idxs, spec: DatasetSpec):
+    depth = reader["depth"][idxs].astype(np.float32)[..., None]
+    pose = reader["pose"][idxs].astype(np.float32)
+    if spec.pose_select is not None and pose.shape[-1] != spec.pose_dim:
+        pose = pose[:, spec.pose_select]
+    names = [str(n) for n in reader["name"][idxs]]
+    bbx = reader["bbx"][idxs].astype(np.float32) if "bbx" in reader._load() \
+        else None
+    return depth, pose, names, bbx
+
+
+class InputPipeline:
+    """Shuffled, endless training pipeline.
+
+    Yields device-ready dicts ``{dm, pose, cfg, com}`` with leading axes
+    ``(sub_batch, batch_size, ...)`` (the gradient-accumulation layout of
+    :func:`densereg_tpu.train.step.train_step_single`).
+    """
+
+    def __init__(self, spec: DatasetSpec, batch_size: int, sub_batch: int = 1,
+                 input_hw=(128, 128), seed: int = 0, mesh=None,
+                 prefetch: int = 4):
+        self.spec = spec
+        self.batch_size = batch_size
+        self.sub_batch = sub_batch
+        self.input_hw = input_hw
+        self.mesh = mesh
+        self._rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    # -- host side ---------------------------------------------------------
+    def _producer(self):
+        readers = self.spec.readers()
+        need = self.batch_size * self.sub_batch
+        pool_d, pool_p = [], []
+        while not self._stop.is_set():
+            order = self._rng.permutation(len(readers))
+            for ri in order:
+                reader = readers[ri]
+                idxs = self._rng.permutation(len(reader))
+                d, p, _, _ = _load_frames(reader, idxs, self.spec)
+                pool_d.append(d)
+                pool_p.append(p)
+                total = sum(x.shape[0] for x in pool_d)
+                while total >= need:
+                    dcat = np.concatenate(pool_d)
+                    pcat = np.concatenate(pool_p)
+                    batch_d, rest_d = dcat[:need], dcat[need:]
+                    batch_p, rest_p = pcat[:need], pcat[need:]
+                    pool_d, pool_p = [rest_d], [rest_p]
+                    total = rest_d.shape[0]
+                    try:
+                        self._q.put((batch_d, batch_p), timeout=60)
+                    except queue.Full:
+                        if self._stop.is_set():
+                            return
+                if self._stop.is_set():
+                    return
+
+    # -- device side -------------------------------------------------------
+    def __iter__(self) -> Iterator[dict]:
+        h, w = self.input_hw
+        cfg = self.spec.cfg.as_array()
+        while True:
+            dms, poses = self._q.get()
+            dm, pose, cfgs, coms = preprocess_batch_from_pose(
+                jnp.asarray(dms), jnp.asarray(poses), cfg, h, w,
+                self.spec.fixed_bg_threshold)
+            batch = {
+                "dm": dm.reshape(self.sub_batch, self.batch_size, h, w, 1),
+                "pose": pose.reshape(self.sub_batch, self.batch_size, -1),
+                "cfg": cfgs.reshape(self.sub_batch, self.batch_size, 6),
+                "com": coms.reshape(self.sub_batch, self.batch_size, 3),
+            }
+            if self.mesh is not None:
+                from densereg_tpu.parallel import shard_batch
+                batch = shard_batch(batch, self.mesh, batch_dim=1)
+            yield batch
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class TestPipeline:
+    """Sequential single-epoch pipeline yielding ``{dm, pose, cfg, com,
+    name}`` batches (the reference's FIFO test reader,
+    /root/reference/data/dataset_base.py:210-237 and the NYU bbx variant,
+    /root/reference/data/nyu.py:222-249).  The final batch is padded by
+    repetition to keep shapes static; ``evaluate_stream`` truncates at
+    ``exact_num``."""
+
+    def __init__(self, spec: DatasetSpec, batch_size: int,
+                 input_hw=(128, 128), mesh=None):
+        self.spec = spec
+        self.batch_size = batch_size
+        self.input_hw = input_hw
+        self.mesh = mesh
+
+    def __iter__(self) -> Iterator[dict]:
+        h, w = self.input_hw
+        cfg = self.spec.cfg.as_array()
+        bs = self.batch_size
+        buf_d, buf_p, buf_n, buf_b = [], [], [], []
+        seen_paths = set()
+        for reader in self.spec.readers():
+            if reader.path in seen_paths:  # reference dups the last shard
+                continue
+            seen_paths.add(reader.path)
+            idxs = np.arange(len(reader))
+            d, p, names, bbx = _load_frames(reader, idxs, self.spec)
+            for i in range(len(idxs)):
+                buf_d.append(d[i])
+                buf_p.append(p[i])
+                buf_n.append(names[i])
+                if bbx is not None:
+                    buf_b.append(bbx[i])
+                if len(buf_d) == bs:
+                    yield self._emit(buf_d, buf_p, buf_n, buf_b, cfg, h, w)
+                    buf_d, buf_p, buf_n, buf_b = [], [], [], []
+        if buf_d:
+            while len(buf_d) < bs:  # pad final batch by repetition
+                buf_d.append(buf_d[-1])
+                buf_p.append(buf_p[-1])
+                buf_n.append(buf_n[-1])
+                if buf_b:
+                    buf_b.append(buf_b[-1])
+            yield self._emit(buf_d, buf_p, buf_n, buf_b, cfg, h, w)
+
+    def _emit(self, buf_d, buf_p, buf_n, buf_b, cfg, h, w):
+        dms = jnp.asarray(np.stack(buf_d))
+        poses = jnp.asarray(np.stack(buf_p))
+        if self.spec.uses_bbx and buf_b:
+            dm, pose, cfgs, coms = preprocess_batch_from_bbx(
+                dms, poses, jnp.asarray(np.stack(buf_b)), cfg, h, w)
+        else:
+            dm, pose, cfgs, coms = preprocess_batch_from_pose(
+                dms, poses, cfg, h, w, self.spec.fixed_bg_threshold)
+        batch = {"dm": dm, "pose": pose, "cfg": cfgs, "com": coms,
+                 "name": list(buf_n)}
+        if self.mesh is not None:
+            from densereg_tpu.parallel import shard_batch
+            arrays = {k: batch[k] for k in ("dm", "pose", "cfg", "com")}
+            batch.update(shard_batch(arrays, self.mesh, batch_dim=0))
+        return batch

@@ -51,17 +51,20 @@ class Hourglass(nn.Module):
     depth: int
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, **kw):
         res = lambda name: Residual(kernel_size=self.kernel_size,
-                                    dtype=self.dtype, name=name)
+                                    dtype=self.dtype,
+                                    axis_name=self.axis_name, name=name)
         upper1 = res("upper")(x, **kw)
         lower1 = max_pool_same(x, self.kernel_size, 2)
         lower1 = res("lower_in")(lower1, **kw)
         if self.depth > 1:
             lower2 = Hourglass(self.depth - 1, self.kernel_size,
-                               self.dtype, name="inner")(lower1, **kw)
+                               self.dtype, self.axis_name,
+                               name="inner")(lower1, **kw)
         else:
             lower2 = lower1
         lower3 = res("lower_out")(lower2, **kw)
@@ -78,6 +81,8 @@ class DenseRegNet(nn.Module):
     """
 
     cfg: NetConfig
+    # mesh axis for synchronized batch-renorm moments under data parallelism
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, dms, *, train: bool, r_max=None, d_max=None):
@@ -85,7 +90,8 @@ class DenseRegNet(nn.Module):
         dtype = jnp.dtype(c.compute_dtype)
         j = c.num_joint
         kw = dict(train=train, r_max=r_max, d_max=d_max)
-        bnkw = dict(bn_decay=c.bn_decay, bn_epsilon=c.bn_epsilon, dtype=dtype)
+        bnkw = dict(bn_decay=c.bn_decay, bn_epsilon=c.bn_epsilon, dtype=dtype,
+                    axis_name=self.axis_name)
 
         def res(name, features=None):
             return Residual(features, kernel_size=c.kernel_size, name=name, **bnkw)
@@ -120,7 +126,7 @@ class DenseRegNet(nn.Module):
         for i in range(c.num_stack):
             sfx = f"_s{i}"
             hg = Hourglass(c.hourglass_depth, c.kernel_size, dtype,
-                           name="hg" + sfx)(hg_ins, **kw)
+                           self.axis_name, name="hg" + sfx)(hg_ins, **kw)
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)
 

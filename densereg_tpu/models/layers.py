@@ -35,6 +35,12 @@ class BatchRenorm(nn.Module):
     decay: float = 0.99
     epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    # When set (inside shard_map/pmap), batch moments are pmean-ed over this
+    # mesh axis: synchronized BN across data-parallel replicas.  (The
+    # reference's multi-tower trainer instead updated stats from the last
+    # tower only — /root/reference/model/train_multi_gpu.py:85-86 — which
+    # desyncs replicas; cross-replica moments are the TPU-native fix.)
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -50,7 +56,11 @@ class BatchRenorm(nn.Module):
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.var(xf, axis=axes)
+            mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None and not self.is_initializing():
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
 
             std = jnp.sqrt(var + self.epsilon)
             mov_std = jnp.sqrt(ra_var.value + self.epsilon)
@@ -101,6 +111,7 @@ class ConvBR(nn.Module):
     bn_decay: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -117,7 +128,8 @@ class ConvBR(nn.Module):
         )(x)
         if self.use_bn:
             x = BatchRenorm(decay=self.bn_decay, epsilon=self.bn_epsilon,
-                            dtype=self.dtype, name="bn")(
+                            dtype=self.dtype, axis_name=self.axis_name,
+                            name="bn")(
                 x, train=train, r_max=r_max, d_max=d_max)
         if self.activation is not None:
             x = self.activation(x)
@@ -136,6 +148,7 @@ class Residual(nn.Module):
     bn_decay: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -145,7 +158,7 @@ class Residual(nn.Module):
         kw = dict(train=train, r_max=r_max, d_max=d_max)
         conv = lambda f, k, name: ConvBR(
             f, (k, k), bn_decay=self.bn_decay, bn_epsilon=self.bn_epsilon,
-            dtype=self.dtype, name=name)
+            dtype=self.dtype, axis_name=self.axis_name, name=name)
         y = conv(half, 1, "conv1")(x, **kw)
         y = conv(half, self.kernel_size, "conv2")(y, **kw)
         y = conv(num_out, 1, "conv3")(y, **kw)
@@ -169,7 +182,10 @@ def max_pool_same(x, window: int, stride: int):
         (pad_w // 2, pad_w - pad_w // 2),
         (0, 0),
     ]
-    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (the exact max-monoid identity) is required for JAX to dispatch to
+    # the differentiable reduce_window_max primitive.
+    neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg_inf, jax.lax.max,
         window_dimensions=(1,) * (x.ndim - 3) + (window, window, 1),

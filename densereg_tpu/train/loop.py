@@ -1,0 +1,162 @@
+"""Training driver: the reference's session loop
+(/root/reference/model/train_single_gpu.py:37-178) as a host loop around one
+jitted accumulate+update step.
+
+Cadences preserved: txt log every 5 steps with sec/batch + sec/sample,
+metrics every 20, validation every 40, checkpoint every 100 and at the end;
+NaN-loss guard; resume from a restore step.  The checkpoint namespace is the
+reference's ``<dataset>_<subset>_s<stack>_f<fea>[_daug]_<net>`` convention.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu.config import EvalConfig, NetConfig, TrainConfig, model_desc
+from densereg_tpu.data.base import DatasetSpec
+from densereg_tpu.data.pipeline import InputPipeline, TestPipeline
+from densereg_tpu.eval.loop import evaluate_stream, make_infer_fn
+from densereg_tpu.train.checkpoint import CheckpointManager
+from densereg_tpu.train.state import create_train_state
+from densereg_tpu.train.step import make_train_step
+from densereg_tpu.utils.logging import MetricLogger, TrainLogWriter
+from densereg_tpu.utils.profiling import StepTimer
+
+
+def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
+          val_spec: Optional[DatasetSpec] = None,
+          restore_step: Optional[int] = None, mesh=None,
+          max_steps: Optional[int] = None, net_name: str = "um_v1",
+          log_fn=print):
+    """Train on a dataset; returns the final TrainState."""
+    if val_spec is not None and val_spec.jnt_num != spec.jnt_num:
+        raise ValueError("validation dataset must share the joint count "
+                         "(cf. /root/reference/model/hourglass_um_crop_tiny"
+                         ".py:119-121)")
+    steps_per_epoch = spec.approximate_num / (tcfg.batch_size * tcfg.sub_batch)
+    if max_steps is None:
+        max_steps = int(tcfg.epochs * steps_per_epoch)
+
+    name = model_desc(spec.name, spec.subset, net_cfg, tcfg.augment, net_name)
+    train_dir = os.path.join(tcfg.base_dir, name)
+    os.makedirs(train_dir, exist_ok=True)
+    log = TrainLogWriter(train_dir)
+    metrics_log = MetricLogger(os.path.join(train_dir, "metrics.jsonl"))
+    ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"))
+
+    rng = jax.random.key(tcfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(init_rng, net_cfg, tcfg, steps_per_epoch)
+    if restore_step is not None and restore_step != 0:
+        state = ckpt.restore(state, restore_step)
+        log_fn(f"[train] restored step {int(state.step)} from {train_dir}")
+
+    step_fn = make_train_step(net_cfg, tcfg, mesh=mesh)
+    pipeline = InputPipeline(spec, tcfg.batch_size, tcfg.sub_batch,
+                             net_cfg.input_hw, seed=tcfg.seed, mesh=mesh)
+
+    val_iterable = None
+    infer_fn = None
+    if val_spec is not None:
+        infer_fn = make_infer_fn(net_cfg, EvalConfig(batch_size=3))
+        val_pipeline = TestPipeline(val_spec, batch_size=3,
+                                    input_hw=net_cfg.input_hw)
+
+    decay_steps = int(steps_per_epoch * tcfg.epochs_per_decay)
+    log_fn(f"[train] lr decays per {decay_steps} steps x{tcfg.lr_decay_factor}"
+           f"; init lr {tcfg.init_lr}; {max_steps} total steps")
+
+    samples_per_step = tcfg.batch_size * tcfg.sub_batch
+    timer = StepTimer()
+    data_iter = iter(pipeline)
+    try:
+        start = int(state.step)
+        for step in range(start, max_steps):
+            batch = next(data_iter)
+            rng, step_rng = jax.random.split(rng)
+            with timer:
+                state, metrics = step_fn(state, batch, step_rng)
+                loss = float(metrics["loss"])
+
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"Model diverged with loss = {loss} at step {step}")
+
+            if step % tcfg.log_every == 0:
+                log.log_step(step, max_steps, loss, timer.last,
+                             timer.last / samples_per_step)
+            if step % tcfg.summary_every == 0:
+                metrics_log.log(step, **{k: float(v)
+                                         for k, v in metrics.items()})
+            if val_spec is not None and step % tcfg.validate_every == 0:
+                _validate(infer_fn, state, val_pipeline, log, step, log_fn)
+            if step % tcfg.checkpoint_every == 0 or step + 1 == max_steps:
+                ckpt.save(state)
+        return state
+    finally:
+        pipeline.close()
+        log.close()
+        metrics_log.close()
+        ckpt.close()
+
+
+def _validate(infer_fn, state, val_pipeline, log, step, log_fn):
+    """One validation batch: per-joint error matrix to the validation log
+    (/root/reference/model/hourglass_um_crop_tiny.py:816-840)."""
+    from densereg_tpu.eval.metrics import max_joint_error
+
+    batch = next(iter(val_pipeline))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    xyz = np.asarray(infer_fn(variables, batch["dm"], batch["cfg"],
+                              batch["com"]))
+    gt = np.asarray(batch["pose"])
+    errs = np.asarray(max_joint_error(xyz, gt)).tolist()
+    diff = (xyz - gt).reshape(xyz.shape[0], -1, 3)
+    dist = np.linalg.norm(diff, axis=-1)
+    log.write(f"[validation] step {step}")
+    for i in range(xyz.shape[0]):
+        log.write(np.array_str(
+            np.concatenate([diff[i], dist[i][:, None]], axis=1)))
+    log.write(f"validation error: {errs}")
+    log_fn(f"[validate] step {step} maxJntError {errs}")
+
+
+def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
+         ecfg: EvalConfig = EvalConfig(), selected_step: Optional[int] = -1,
+         mesh=None, net_name: str = "um_v1", train_spec: Optional[DatasetSpec] = None,
+         log_fn=print):
+    """Test driver (/root/reference/model/test_model.py): restore a
+    checkpoint, stream the test split, dump predictions + error curve."""
+    from datetime import datetime
+
+    name_spec = train_spec if train_spec is not None else spec
+    name = model_desc(name_spec.name,
+                      "training" if train_spec is None else train_spec.subset,
+                      net_cfg, tcfg.augment, net_name)
+    train_dir = os.path.join(tcfg.base_dir, name)
+    steps_per_epoch = spec.approximate_num / (tcfg.batch_size * tcfg.sub_batch)
+
+    state = create_train_state(jax.random.key(0), net_cfg, tcfg,
+                               steps_per_epoch)
+    ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"))
+    state = ckpt.restore(state, selected_step)
+    log_fn(f"[test] restored from {train_dir}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    infer_fn = make_infer_fn(net_cfg, ecfg, mesh=mesh)
+    pipe = TestPipeline(spec, ecfg.batch_size, net_cfg.input_hw, mesh=mesh)
+
+    stamp = str(datetime.now()).replace(" ", "_")
+    res_path = os.path.join(train_dir, f"{spec.subset}-{stamp}-result.txt")
+    err_path = os.path.join(train_dir, f"{spec.subset}-{stamp}-result_error.txt")
+    report = evaluate_stream(infer_fn, variables, iter(pipe), spec.exact_num,
+                             res_path, err_path, log_fn=log_fn)
+    log_fn(f"[test] {report['num_frames']} frames @ {report['fps']:.1f} fps; "
+           f"{report['percentages']}")
+    ckpt.close()
+    return report

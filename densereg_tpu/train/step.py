@@ -1,0 +1,106 @@
+"""The jitted training step: gradient accumulation + data parallelism.
+
+The reference runs ``sub_batch`` separate ``sess.run`` round-trips per
+optimizer step, accumulating gradients in graph variables
+(/root/reference/model/train_single_gpu.py:69-89,144-150), and its multi-GPU
+path replicates the graph per device with an in-graph concat/mean reduction
+(/root/reference/model/train_multi_gpu.py:16-39).  Here the whole thing is ONE
+jitted function:
+
+* micro-batching is a ``lax.scan`` over the leading ``sub_batch`` axis of the
+  batch (no host round-trips between micro steps);
+* data parallelism is GSPMD: the batch axis carries a
+  ``NamedSharding(mesh, P(None, "data"))`` and XLA inserts the gradient
+  all-reduce (and cross-replica batch-norm moment reduction) over ICI —
+  see :mod:`densereg_tpu.parallel.mesh` for the mesh/sharding helpers.
+
+Semantics preserved from the reference: gradients are SUMMED over each micro
+batch (``tf.nn.l2_loss`` sums, never averages), accumulated over micro steps,
+divided by ``sub_batch``, clipped elementwise to +-0.2, then applied with
+Adam(beta1=0.5); renorm moving stats and the schedule clock advance once per
+MICRO step (the reference runs its update ops inside the accumulation loop).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from densereg_tpu.config import NetConfig, TrainConfig
+from densereg_tpu.train.state import TrainState, loss_fn
+
+
+def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
+                      tcfg: TrainConfig):
+    """One optimizer step.
+
+    Args:
+      state: TrainState.
+      batch: dict of arrays with a leading ``(sub_batch, batch, ...)`` pair of
+        axes: ``dm``, ``pose``, ``cfg``, ``com``.
+      rng: PRNG key for dropout/augmentation, folded per micro step.
+    Returns:
+      (new_state, metrics dict averaged over micro steps).
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def micro(carry, xs):
+        batch_stats, renorm_t, accum = carry
+        mb, key = xs
+        drop_key, aug_key = jax.random.split(key)
+        (loss, (batch_stats, metrics)), grads = grad_fn(
+            state.params, batch_stats, state.apply_fn, mb,
+            net_cfg=net_cfg, tcfg=tcfg, renorm_t=renorm_t,
+            dropout_rng=drop_key,
+            aug_rng=aug_key if tcfg.augment else None)
+        accum = jax.tree.map(jnp.add, accum, grads)
+        renorm_t = renorm_t + net_cfg.renorm_t_delta
+        return (batch_stats, renorm_t, accum), metrics
+
+    sub = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    keys = jax.random.split(rng, sub)
+    zeros = jax.tree.map(jnp.zeros_like, state.params)
+    (batch_stats, renorm_t, accum), metrics = jax.lax.scan(
+        micro, (state.batch_stats, state.renorm_t, zeros), (batch, keys))
+
+    avg = jax.tree.map(lambda g: g / sub, accum)
+    updates, opt_state = state.tx.update(avg, state.opt_state, state.params)
+    params = jax.tree.map(jnp.add, state.params, updates)
+
+    new_state = state.replace(
+        step=state.step + 1,
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        renorm_t=renorm_t,
+    )
+    metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+    return new_state, metrics
+
+
+def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
+                    donate: bool = True):
+    """Build the jitted train step; with ``mesh`` the batch is expected to be
+    sharded ``P(None, "data")`` and the returned function carries the output
+    shardings so parameters/optimizer state stay replicated."""
+    step = functools.partial(train_step_single, net_cfg=net_cfg, tcfg=tcfg)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P(None, tcfg.data_axis))
+
+    def sharded_step(state, batch, rng):
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree.map(lambda _: batch_sharding, batch))
+        new_state, metrics = step(state, batch, rng)
+        new_state = jax.lax.with_sharding_constraint(
+            new_state, jax.tree.map(lambda _: replicated, new_state))
+        return new_state, metrics
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())

@@ -5,6 +5,11 @@ anywhere."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: the build machine has a single CPU core, so
+# re-compiles dominate test time without it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

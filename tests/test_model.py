@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu.config import NetConfig
+from densereg_tpu.models import DenseRegNet, BatchRenorm, renorm_clip_schedule
+
+
+def _tiny_cfg(**kw):
+    base = dict(num_stack=2, num_fea=16, num_joint=4, input_hw=(128, 128))
+    base.update(kw)
+    return NetConfig(**base)
+
+
+def test_forward_shapes_and_stacks():
+    cfg = _tiny_cfg()
+    net = DenseRegNet(cfg)
+    x = jnp.zeros((2, 128, 128, 1))
+    variables = net.init({"params": jax.random.key(0)}, x, train=False)
+    out = net.apply(variables, x, train=False)
+    assert len(out["hm"]) == 2 and len(out["hm3"]) == 2 and len(out["um"]) == 2
+    assert out["hm"][0].shape == (2, 32, 32, 4)
+    assert out["hm3"][1].shape == (2, 32, 32, 4)
+    assert out["um"][1].shape == (2, 32, 32, 12)
+
+
+def test_train_mode_updates_batch_stats():
+    cfg = _tiny_cfg(num_stack=1)
+    net = DenseRegNet(cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 128, 128, 1))
+    variables = net.init({"params": jax.random.key(0)}, x, train=False)
+    r_max, d_max = renorm_clip_schedule(0.0)
+    out, mutated = net.apply(
+        variables, x, train=True, r_max=r_max, d_max=d_max,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)})
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert changed, "moving statistics must move in train mode"
+
+
+def test_renorm_schedule_limits():
+    r0, d0 = renorm_clip_schedule(0.0)
+    np.testing.assert_allclose(float(r0), 1.0, rtol=1e-6)   # 3/(1+2)
+    np.testing.assert_allclose(float(d0), 1e-3, rtol=1e-6)
+    r_inf, _ = renorm_clip_schedule(20.0)
+    np.testing.assert_allclose(float(r_inf), 3.0, rtol=1e-4)
+
+
+def test_batch_renorm_r1_d0_equals_batchnorm():
+    """With r_max=1 (=> r==1, d in [-1e-3,1e-3]~0) train-mode renorm reduces
+    to plain batch norm."""
+    x = jax.random.normal(jax.random.key(0), (8, 4, 4, 3)) * 2.0 + 1.0
+    bn = BatchRenorm()
+    variables = bn.init(jax.random.key(1), x, train=False)
+    y, _ = bn.apply(variables, x, train=True, r_max=jnp.float32(1.0),
+                    d_max=jnp.float32(0.0), mutable=["batch_stats"])
+    y = np.asarray(y)
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(y.std(axis=(0, 1, 2)), 1.0, atol=2e-2)
+
+
+def test_eval_uses_moving_stats():
+    x = jax.random.normal(jax.random.key(0), (4, 4, 4, 3)) * 3.0
+    bn = BatchRenorm(decay=0.0)  # moving stats = last batch
+    variables = bn.init(jax.random.key(1), x, train=False)
+    _, mutated = bn.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = {**variables, "batch_stats": mutated["batch_stats"]}
+    y = np.asarray(bn.apply(variables, x, train=False))
+    np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+
+
+def test_bfloat16_compute_path():
+    cfg = _tiny_cfg(num_stack=1, compute_dtype="bfloat16")
+    net = DenseRegNet(cfg)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = net.init({"params": jax.random.key(0)}, x, train=False)
+    out = net.apply(variables, x, train=False)
+    # params stay f32, outputs come back f32
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+    assert out["hm"][0].dtype == jnp.float32
+
+
+def test_param_count_topology():
+    """Spot-check the widths of the reference topology
+    (/root/reference/network/um_v1.py): stem conv is 7x7x1x32, um head fc
+    width 512, heads emit J / J / 3J channels."""
+    cfg = _tiny_cfg()
+    net = DenseRegNet(cfg)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = net.init({"params": jax.random.key(0)}, x, train=False)
+    p = variables["params"]
+    assert p["stem_conv"]["conv"]["kernel"].shape == (7, 7, 1, 32)
+    assert p["um_fc1_s0"]["conv"]["kernel"].shape[-1] == 512
+    assert p["um_fc2_s0"]["conv"]["kernel"].shape == (1, 1, 512, 512)
+    assert p["hm_head_s0"]["conv"]["kernel"].shape[-1] == cfg.num_joint
+    assert p["um_head_s0"]["conv"]["kernel"].shape[-1] == 3 * cfg.num_joint
+    # heads have biases (no BN), BN convs don't
+    assert "bias" in p["hm_head_s0"]["conv"]
+    assert "bias" not in p["stem_conv"]["conv"]

@@ -1,0 +1,54 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: the sharded train
+step must compile, execute, and produce results identical to the single-device
+run on the same global batch (the parity gate from SURVEY.md §4/§7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densereg_tpu.config import NetConfig, TrainConfig
+from densereg_tpu.parallel import make_mesh, shard_batch
+from densereg_tpu.train import create_train_state, make_train_step
+from tests.test_train import make_batch
+
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+TCFG = TrainConfig(batch_size=8, sub_batch=2, augment=False)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_single_device(rng):
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    batch = make_batch(rng, TCFG.sub_batch, TCFG.batch_size)
+
+    single = make_train_step(NET, TCFG, donate=False)
+    s1, m1 = single(state, batch, jax.random.key(7))
+
+    mesh = make_mesh()
+    sharded = make_train_step(NET, TCFG, mesh=mesh, donate=False)
+    dbatch = shard_batch(batch, mesh, batch_dim=1)
+    s8, m8 = sharded(state, dbatch, jax.random.key(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    # batch stats must also agree (synchronized BN moments)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_batch_sharding_layout(rng):
+    mesh = make_mesh()
+    batch = make_batch(rng, 2, 8)
+    sharded = shard_batch(batch, mesh, batch_dim=1)
+    shard_shapes = {s.data.shape for s in sharded["dm"].addressable_shards}
+    assert shard_shapes == {(2, 1, 32, 32, 1)}

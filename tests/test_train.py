@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu import geometry
+from densereg_tpu.config import CameraConfig, NetConfig, TrainConfig
+from densereg_tpu.train import (
+    create_train_state,
+    loss_fn,
+    make_train_step,
+    weight_decay_loss,
+)
+
+ICVL = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+TCFG = TrainConfig(batch_size=2, sub_batch=2, augment=False)
+
+
+def make_batch(rng, sub, b, j=3, hw=32):
+    cfg = np.asarray(geometry.scale_cfg(ICVL.as_array(), hw, hw))
+    poses = np.zeros((sub, b, j, 3), np.float32)
+    poses[..., 0] = rng.uniform(-30, 30, (sub, b, j))
+    poses[..., 1] = rng.uniform(-30, 30, (sub, b, j))
+    poses[..., 2] = rng.uniform(380, 420, (sub, b, j))
+    coms = poses.mean(axis=2)
+    dms = rng.uniform(350, 450, (sub, b, hw, hw, 1)).astype(np.float32)
+    return {
+        "dm": jnp.asarray(dms),
+        "pose": jnp.asarray(poses.reshape(sub, b, -1)),
+        "cfg": jnp.asarray(np.tile(cfg, (sub, b, 1)).astype(np.float32)),
+        "com": jnp.asarray(coms),
+    }
+
+
+def micro_batch(batch, i):
+    return jax.tree.map(lambda x: x[i], batch)
+
+
+def test_loss_components_finite(rng):
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    batch = make_batch(rng, 1, 2)
+    loss, (stats, metrics) = loss_fn(
+        state.params, state.batch_stats, state.apply_fn, micro_batch(batch, 0),
+        net_cfg=NET, tcfg=TCFG, renorm_t=jnp.float32(0.0),
+        dropout_rng=jax.random.key(1))
+    assert np.isfinite(float(loss))
+    for k in ("hm_loss", "hm3_loss", "um_loss", "reg_loss"):
+        v = float(metrics[k])
+        assert np.isfinite(v) and v >= 0.0
+    assert float(metrics["reg_loss"]) > 0.0
+
+
+def test_weight_decay_only_kernels():
+    params = {
+        "conv": {"kernel": jnp.ones((1, 1, 2, 2)), "bias": jnp.ones((2,)) * 100},
+        "bn": {"beta": jnp.ones((2,)) * 100, "gamma": jnp.ones((2,)) * 100},
+    }
+    wd = float(weight_decay_loss(params, 0.0005))
+    np.testing.assert_allclose(wd, 0.5 * 0.0005 * 4.0, rtol=1e-6)
+
+
+def test_train_step_advances_state(rng):
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    step_fn = make_train_step(NET, TCFG, donate=False)
+    batch = make_batch(rng, TCFG.sub_batch, TCFG.batch_size)
+    new_state, metrics = step_fn(state, batch, jax.random.key(1))
+    assert int(new_state.step) == 1
+    np.testing.assert_allclose(
+        float(new_state.renorm_t), TCFG.sub_batch * NET.renorm_t_delta,
+        rtol=1e-5)
+    # params changed
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        state.params, new_state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    # clipped Adam with lr 1e-3: per-step param delta bounded by ~lr
+    assert max(jax.tree_util.tree_leaves(diff)) < 2 * TCFG.init_lr + 1e-6
+
+
+def test_overfit_tiny_batch(rng):
+    """The correctness gate from SURVEY.md §7 step 5 in miniature: loss on a
+    fixed batch must drop substantially after a few dozen steps."""
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False, init_lr=3e-3)
+    state = create_train_state(jax.random.key(0), NET, tcfg, 1e6)
+    step_fn = make_train_step(NET, tcfg, donate=False)
+    batch = make_batch(rng, 1, 2)
+    losses = []
+    for i in range(30):
+        state, metrics = step_fn(state, batch, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < 0.5 * losses[0], losses[::6]
+
+
+def test_lr_schedule_staircase():
+    from densereg_tpu.train.lr import staircase_exponential_decay
+    sched = staircase_exponential_decay(1e-3, 100, 0.1)
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(99)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(250)), 1e-5, rtol=1e-5)
