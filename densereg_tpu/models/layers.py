@@ -55,12 +55,16 @@ class BatchRenorm(nn.Module):
         xf = x.astype(jnp.float32)
         if train:
             axes = tuple(range(x.ndim - 1))
+            sync = self.axis_name is not None and not self.is_initializing()
+            # two-pass moments: E[(x - E[x])^2] rather than E[x^2] - E[x]^2,
+            # which cancels catastrophically in float32 and makes gradients
+            # depend visibly on cross-device reduction order
             mean = jnp.mean(xf, axis=axes)
-            mean_sq = jnp.mean(jnp.square(xf), axis=axes)
-            if self.axis_name is not None and not self.is_initializing():
+            if sync:
                 mean = jax.lax.pmean(mean, self.axis_name)
-                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
-            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if sync:
+                var = jax.lax.pmean(var, self.axis_name)
 
             std = jnp.sqrt(var + self.epsilon)
             mov_std = jnp.sqrt(ra_var.value + self.epsilon)

@@ -106,6 +106,45 @@ def resume_offset_maps(hm3, um):
     return o.reshape(b, h, w, c)
 
 
+def um_xy_angle(ums):
+    """xy-plane angle visualization of unit-offset maps
+    (``_vis_um_xy``, /root/reference/model/hourglass_um_crop_tiny.py:301-311):
+    ``sin(x/|xy|)`` where the vector is meaningful, 1 elsewhere.
+
+    Args: ums (b, h, w, 3j). Returns (b, h, w, j).
+    """
+    b, h, w, c = ums.shape
+    u = ums.reshape(b, h, w, c // 3, 3)
+    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    d = jnp.sqrt(x * x + y * y)
+    small = (d * d + z * z) < 0.1
+    return jnp.where(small, 1.0, jnp.sin(x / jnp.where(small, 1.0, d)))
+
+
+def um_z_component(ums):
+    """z component per joint (``_vis_um_z``, ibid.:313-320)."""
+    b, h, w, c = ums.shape
+    return ums.reshape(b, h, w, c // 3, 3)[..., 2]
+
+
+def gaussian_heatmaps(uvd, out_h, out_w, sigma=3.0):
+    """Per-point Gaussian heatmaps, the legacy/bigHand GT path
+    (``heatmap_from_uvd_op``, /root/reference/data/util.py:85-127).  The
+    reference scatters a delta and runs a separable blur twice; we emit the
+    analytically equivalent normalized Gaussian bump directly (peak = 1).
+
+    Args: uvd (..., 3j) or (..., j, 3). Returns (..., out_h, out_w, j).
+    """
+    pts = uvd.reshape(uvd.shape[:-1] + (-1, 3)) if uvd.shape[-1] != 3 else uvd
+    uu = jnp.clip(pts[..., 0], 0, out_w - 1)
+    vv = jnp.clip(pts[..., 1], 0, out_h - 1)
+    col = jnp.arange(out_w, dtype=uvd.dtype)
+    row = jnp.arange(out_h, dtype=uvd.dtype)
+    d2 = (jnp.square(col[None, :, None] - uu[..., None, None, :])
+          + jnp.square(row[:, None, None] - vv[..., None, None, :]))
+    return jnp.exp(-d2 / (2.0 * sigma * sigma))
+
+
 def synthesize(poses, cfgs, coms, normed_dms, out_h, out_w):
     """One jitted call producing every training target.
 

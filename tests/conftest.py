@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The environment's sitecustomize force-registers a remote TPU backend and
+# pins jax_platforms to it, overriding the env var — undo that so tests run
+# on the local 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,104 @@
+"""End-to-end slice: synthetic dataset -> short training run (checkpoint +
+logs) -> restore -> streaming test -> reference-format result dump.
+
+This is the framework-level integration gate (SURVEY.md §7 step 4/5 in
+miniature): every subsystem — data pipeline, device preprocessing, GT
+synthesis, model, loss, accumulating train step, Orbax checkpointing,
+restore, decode, result writer, metrics — runs in one pass.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from densereg_tpu.config import EvalConfig, NetConfig, TrainConfig
+from densereg_tpu.data.base import get_dataset
+from densereg_tpu.eval.writer import read_result_file
+from densereg_tpu.train.loop import test as run_test
+from densereg_tpu.train.loop import train as run_train
+
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=16, input_hw=(32, 32))
+
+
+@pytest.mark.slow
+def test_train_then_test(tmp_path):
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    tcfg = TrainConfig(batch_size=4, sub_batch=2, augment=True,
+                       base_dir=base_dir, checkpoint_every=3,
+                       validate_every=2, epochs=1)
+    spec = get_dataset("synthetic", "training", directory=data_dir,
+                       num_shards=2, samples_per_shard=16)
+    val = get_dataset("synthetic", "testing", directory=data_dir,
+                      num_shards=1, samples_per_shard=8)
+
+    state = run_train(spec, NET, tcfg, val_spec=val, max_steps=4,
+                      log_fn=lambda *_: None)
+    assert int(state.step) == 4
+
+    run_dirs = glob.glob(os.path.join(base_dir, "synthetic_training_*"))
+    assert len(run_dirs) == 1
+    train_dir = run_dirs[0]
+    assert os.path.exists(os.path.join(train_dir, "training_log.txt"))
+    assert os.path.exists(os.path.join(train_dir, "metrics.jsonl"))
+    log = open(os.path.join(train_dir, "training_log.txt")).read()
+    assert "sec/batch" in log and "validation error" in log
+
+    report = run_test(val, NET, tcfg, EvalConfig(batch_size=4),
+                      selected_step=-1, train_spec=spec,
+                      log_fn=lambda *_: None)
+    assert report["num_frames"] == val.exact_num
+
+    res_files = glob.glob(os.path.join(train_dir, "testing-*-result.txt"))
+    assert len(res_files) == 1
+    names, xyz = read_result_file(res_files[0])
+    assert len(names) == val.exact_num
+    assert xyz.shape == (val.exact_num, 48)
+    assert np.isfinite(xyz).all()
+    err_files = glob.glob(os.path.join(train_dir, "testing-*_error.txt"))
+    assert len(err_files) == 1
+    assert len(open(err_files[0]).read().strip().split("\n")) == 17
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(tmp_path):
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.checkpoint import CheckpointManager
+    import jax
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig(batch_size=2, sub_batch=1)
+    state = create_train_state(jax.random.key(0), NET, tcfg, 10.0)
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          renorm_t=jnp.asarray(0.123, jnp.float32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state)
+    assert mgr.latest_step() == 7
+
+    fresh = create_train_state(jax.random.key(1), NET, tcfg, 10.0)
+    restored = mgr.restore(fresh, -1)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(float(restored.renorm_t), 0.123, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer slots restored too
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_cli_parser_surface():
+    from densereg_tpu.cli.main import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["train", "--dataset", "icvl", "--num_stack", "2",
+                      "--num_fea", "128", "--no-is_aug"])
+    assert a.dataset == "icvl" and a.num_stack == 2 and a.is_aug is False
+    a = p.parse_args(["test", "--dataset", "msra", "--pid", "3"])
+    assert a.pid == 3 and a.selected_step == -1
+    a = p.parse_args(["convert", "--dataset", "nyu", "--subset", "testing"])
+    assert a.fn.__name__ == "cmd_convert"
