@@ -31,7 +31,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "exp",
                              "cpu_baseline.json")
 
 
-def _build(batch, compute_dtype):
+def _build(batch, compute_dtype, use_pallas=False):
     import jax
     import jax.numpy as jnp
 
@@ -52,23 +52,39 @@ def _build(batch, compute_dtype):
     cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), 128, 128)[None],
                     (batch, 1))
     coms = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32), (batch, 1))
-    infer = make_infer_fn(net_cfg, EvalConfig(batch_size=batch))
+    infer = make_infer_fn(net_cfg, EvalConfig(batch_size=batch,
+                                              use_pallas=use_pallas))
     return infer, variables, dms, cfgs, coms
 
 
-def _measure(device, batch, compute_dtype, iters=10, warmup=2):
+def _measure(device, batch, compute_dtype, iters=10, warmup=2,
+             use_pallas=False):
+    """Iterations are chained through a data dependency (the decoded pose
+    perturbs the next input by ~1e-24 mm) and a scalar is fetched at the end:
+    on remote-attached accelerators ``block_until_ready`` alone does not
+    fence previously enqueued work, which inflates naive timings ~100x."""
     import jax
+    import jax.numpy as jnp
 
     with jax.default_device(device):
-        infer, variables, dms, cfgs, coms = _build(batch, compute_dtype)
-        out = infer(variables, dms, cfgs, coms)
-        out.block_until_ready()
+        infer, variables, dms, cfgs, coms = _build(batch, compute_dtype,
+                                                   use_pallas)
+
+        @jax.jit
+        def chained(variables, dms, cfgs, coms):
+            xyz = infer(variables, dms, cfgs, coms)
+            return dms + jnp.sum(xyz) * 1e-24, xyz
+
+        dms1, xyz = chained(variables, dms, cfgs, coms)
+        float(jnp.sum(xyz))  # warm compile + full fence
         for _ in range(warmup - 1):
-            infer(variables, dms, cfgs, coms).block_until_ready()
+            dms1, xyz = chained(variables, dms, cfgs, coms)
+        float(jnp.sum(xyz))
         t0 = time.perf_counter()
+        cur = dms
         for _ in range(iters):
-            out = infer(variables, dms, cfgs, coms)
-        out.block_until_ready()
+            cur, xyz = chained(variables, cur, cfgs, coms)
+        float(jnp.sum(xyz))  # fences the whole chain
         dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -80,7 +96,7 @@ def main():
     on_accel = dev.platform != "cpu"
     value = _measure(dev, BATCH if on_accel else CPU_BATCH,
                      "bfloat16" if on_accel else "float32",
-                     iters=10 if on_accel else 2)
+                     iters=30 if on_accel else 2)
 
     cpu_fps = None
     if on_accel:

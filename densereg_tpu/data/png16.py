@@ -14,8 +14,27 @@ import io
 import numpy as np
 
 
+def png_dims(data: bytes):
+    """(height, width) from the IHDR chunk, or None if not a PNG."""
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    return h, w
+
+
 def decode_png16(data: bytes) -> np.ndarray:
-    """16-bit grayscale PNG bytes -> (h, w) uint16 (ICVL / MSRA depth)."""
+    """16-bit grayscale PNG bytes -> (h, w) uint16 (ICVL / MSRA depth).
+
+    Uses the native zlib codec (densereg_tpu.data.native / native/depthio.cc)
+    when built, PIL otherwise."""
+    from densereg_tpu.data import native
+
+    dims = png_dims(data)
+    if dims is not None and native.available():
+        out = native.decode_png16(data, dims[0], dims[1], nyu_packed=False)
+        if out is not None:
+            return out
     from PIL import Image
 
     img = Image.open(io.BytesIO(data))
@@ -30,6 +49,13 @@ def decode_png16(data: bytes) -> np.ndarray:
 def decode_nyu_png(data: bytes) -> np.ndarray:
     """NYU 8-bit RGB PNG with depth packed as ``(G << 8) | B``
     (/root/reference/data/nyu.py:148-156) -> (h, w) uint16."""
+    from densereg_tpu.data import native
+
+    dims = png_dims(data)
+    if dims is not None and native.available():
+        out = native.decode_png16(data, dims[0], dims[1], nyu_packed=True)
+        if out is not None:
+            return out
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
