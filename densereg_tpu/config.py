@@ -106,6 +106,10 @@ class TrainConfig:
     adam_beta1: float = 0.5
     grad_clip_value: float = 0.2  # elementwise clip after averaging
     weight_decay: float = 5e-4    # conv-kernel L2, um_v1.py:35
+    # Optional weight EMA (the reference defines decay .9999 and applies it
+    # only in the multi-GPU trainer, /root/reference/model/train_multi_gpu
+    # .py:108-112; the single-GPU path has it commented out).  None = off.
+    ema_decay: Optional[float] = None
     augment: bool = True
     seed: int = 0
     # logging / checkpoint cadence (train_single_gpu.py:154-175)
@@ -116,6 +120,11 @@ class TrainConfig:
     base_dir: str = "./exp/train_cache/"
     # data parallel axis name for shard_map
     data_axis: str = "data"
+    # when set, capture a jax.profiler device trace of steps
+    # [profile_start, profile_start+profile_steps) into this directory
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_steps: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,8 @@ class CheckpointManager:
             "step": np.asarray(state.step),
             "renorm_t": np.asarray(state.renorm_t),
         }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
@@ -59,6 +61,8 @@ class CheckpointManager:
             "step": np.asarray(state.step),
             "renorm_t": np.asarray(state.renorm_t),
         }
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         return state.replace(
@@ -67,6 +71,7 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
             renorm_t=jax.numpy.asarray(restored["renorm_t"]),
+            ema_params=restored.get("ema_params", state.ema_params),
         )
 
     def close(self):

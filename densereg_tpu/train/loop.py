@@ -74,9 +74,16 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     samples_per_step = tcfg.batch_size * tcfg.sub_batch
     timer = StepTimer()
     data_iter = iter(pipeline)
+    profiling = False
     try:
         start = int(state.step)
         for step in range(start, max_steps):
+            if tcfg.profile_dir and step == tcfg.profile_start:
+                jax.profiler.start_trace(tcfg.profile_dir)
+                profiling = True
+            if profiling and step == tcfg.profile_start + tcfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             batch = next(data_iter)
             rng, step_rng = jax.random.split(rng)
             with timer:
@@ -99,6 +106,8 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                 ckpt.save(state)
         return state
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         pipeline.close()
         log.close()
         metrics_log.close()

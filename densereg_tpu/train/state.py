@@ -31,8 +31,11 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     renorm_t: jnp.ndarray             # accumulated renorm schedule time
-    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
-    apply_fn: Any = flax.struct.field(pytree_node=False)
+    # exponential moving average of params (None unless tcfg.ema_decay set)
+    ema_params: Any = None
+    tx: optax.GradientTransformation = flax.struct.field(
+        pytree_node=False, default=None)
+    apply_fn: Any = flax.struct.field(pytree_node=False, default=None)
 
 
 def make_optimizer(tcfg: TrainConfig, steps_per_epoch: float):
@@ -62,6 +65,8 @@ def create_train_state(rng, net_cfg: NetConfig, tcfg: TrainConfig,
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         renorm_t=jnp.zeros((), jnp.float32),
+        ema_params=(jax.tree.map(jnp.copy, variables["params"])
+                    if tcfg.ema_decay is not None else None),
         tx=tx,
         apply_fn=net.apply,
     )

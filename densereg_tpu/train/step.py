@@ -70,12 +70,18 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
     updates, opt_state = state.tx.update(avg, state.opt_state, state.params)
     params = jax.tree.map(jnp.add, state.params, updates)
 
+    ema = state.ema_params
+    if ema is not None and tcfg.ema_decay is not None:
+        d = tcfg.ema_decay
+        ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
     new_state = state.replace(
         step=state.step + 1,
         params=params,
         batch_stats=batch_stats,
         opt_state=opt_state,
         renorm_t=renorm_t,
+        ema_params=ema,
     )
     metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
     return new_state, metrics

@@ -1,0 +1,68 @@
+import json
+import os
+
+import jax
+import numpy as np
+
+from densereg_tpu.utils.device import default_device, topology_report, visible_devices
+from densereg_tpu.utils.logging import MetricLogger, TrainLogWriter
+from densereg_tpu.utils.profiling import StepTimer
+
+
+def test_topology_and_visibility(monkeypatch):
+    report = topology_report()
+    assert "default backend: cpu" in report
+    assert len(visible_devices()) == 8
+    monkeypatch.setenv("DENSEREG_VISIBLE_DEVICES", "0,3")
+    devs = visible_devices()
+    assert [d.id for d in devs] == [0, 3]
+    assert default_device().id == 0
+
+
+def test_train_log_writer_format(tmp_path):
+    w = TrainLogWriter(str(tmp_path))
+    w.log_step(5, 100, 1.234, 0.5, 0.01, echo=False)
+    w.close()
+    text = open(os.path.join(tmp_path, "training_log.txt")).read()
+    assert "step 5/100" in text and "sec/batch" in text and "sec/sample" in text
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    m = MetricLogger(path)
+    m.log(3, loss=1.5, tag="x")
+    m.close()
+    rec = json.loads(open(path).read().strip())
+    assert rec["step"] == 3 and rec["loss"] == 1.5 and rec["tag"] == "x"
+
+
+def test_step_timer():
+    import time
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        with t:
+            time.sleep(0.01)
+    assert 0.005 < t.mean < 0.2 and t.count == 3
+
+
+def test_ema_params_track_params(rng):
+    import jax.numpy as jnp
+    from densereg_tpu.config import NetConfig, TrainConfig
+    from densereg_tpu.train import create_train_state, make_train_step
+    from tests.test_train import make_batch
+
+    net = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       ema_decay=0.5)
+    state = create_train_state(jax.random.key(0), net, tcfg, 10.0)
+    assert state.ema_params is not None
+    step = make_train_step(net, tcfg, donate=False)
+    batch = make_batch(rng, 1, 2)
+    s1, _ = step(state, batch, jax.random.key(1))
+    # ema = 0.5*init + 0.5*new for every leaf
+    for e, p0, p1 in zip(jax.tree_util.tree_leaves(s1.ema_params),
+                         jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(e),
+                                   0.5 * np.asarray(p0) + 0.5 * np.asarray(p1),
+                                   rtol=1e-5, atol=1e-7)

@@ -54,6 +54,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="64,256,1024")
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -83,6 +84,8 @@ def main():
         normed = norm_dm(dms, coms)
 
         t_fwd = timeit_chained(fwd_step, normed)
+        print(f"b={b:5d}  fwd {t_fwd*1e3:7.2f} ms ({b/t_fwd:9.0f} fps)",
+              flush=True)
 
         def full_step_factory(use_pallas):
             infer = make_infer_fn(net_cfg, EvalConfig(batch_size=b,
@@ -95,15 +98,12 @@ def main():
             return step
 
         t_full = timeit_chained(full_step_factory(False), dms)
-        t_pal = (timeit_chained(full_step_factory(True), dms)
-                 if dev.platform == "tpu" else None)
-
-        line = (f"b={b:5d}  fwd {t_fwd*1e3:7.2f} ms ({b/t_fwd:9.0f} fps)  "
-                f"full {t_full*1e3:7.2f} ms ({b/t_full:9.0f} fps)  "
-                f"decode-overhead {(t_full-t_fwd)*1e3:6.2f} ms")
-        if t_pal is not None:
-            line += f"  full+pallas {t_pal*1e3:7.2f} ms ({b/t_pal:9.0f} fps)"
-        print(line)
+        print(f"b={b:5d}  full {t_full*1e3:7.2f} ms ({b/t_full:9.0f} fps)  "
+              f"decode-overhead {(t_full-t_fwd)*1e3:6.2f} ms", flush=True)
+        if args.pallas and dev.platform == "tpu":
+            t_pal = timeit_chained(full_step_factory(True), dms)
+            print(f"b={b:5d}  full+pallas {t_pal*1e3:7.2f} ms "
+                  f"({b/t_pal:9.0f} fps)", flush=True)
 
     if args.train:
         from densereg_tpu.train import create_train_state, make_train_step
