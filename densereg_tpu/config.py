@@ -64,6 +64,12 @@ class NetConfig:
     # dtype used for conv compute; params/stats always float32.
     compute_dtype: str = "float32"
     dropout_rate: float = 0.5
+    # Serving-only: build the net without norm layers; use
+    # densereg_tpu.models.fold_batch_norm to convert trained variables.
+    # Eval-mode renorm is an affine in the frozen moving stats, so folding it
+    # into the conv weights is exact and removes every per-layer
+    # normalize/cast pass from the serving path.
+    fold_bn: bool = False
     # Batch-renorm hyperparameters (/root/reference/network/slim/ops.py:42-166
     # plus the per-layer arg_scope at /root/reference/network/um_v1.py:9-12).
     bn_decay: float = 0.99

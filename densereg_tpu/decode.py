@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from densereg_tpu import geometry
-from densereg_tpu.config import D_RANGE, POSE_NORM_RATIO, EvalConfig
-from densereg_tpu.targets import resume_offset_maps
+from densereg_tpu.config import D_RANGE, MAX_DIST_3D, POSE_NORM_RATIO, EvalConfig
 
 
 def refined_heatmaps(hms, hm3s, tiny_dms):
@@ -127,7 +126,10 @@ def weighted_mean_shift(cans, weights, num_it: int, band_width: float):
         s = jnp.exp(inv_sigma * d2) * weights
         num = jnp.sum(cans * s[..., None], axis=-2)
         den = jnp.sum(s, axis=-1, keepdims=True)
-        return num / den
+        # all-zero weights (every candidate reprojected off-image) would
+        # divide 0/0 — the reference NaNs here (hourglass_um_crop_tiny.py:
+        # 719-720); we keep the voting-grid estimate instead.
+        return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), cur)
 
     return jax.lax.fori_loop(0, num_it, body, cur)
 
@@ -155,12 +157,25 @@ def decode_poses(hms, hm3s, ums, tiny_dms, cfgs, coms,
       ``candidates (b, j, n, 3)``, ``weights (b, j, n)``.
     """
     b, h, w, j = hms.shape
-    oms = resume_offset_maps(hm3s, ums)
     xyzs = geometry.backproject_dm(tiny_dms, cfgs, coms)              # (b,h,w,3)
-    cand_xyz = jnp.tile(xyzs, (1, 1, 1, j)) + oms                     # (b,h,w,3j)
 
+    # Top-k FIRST, then reconstruct offsets only at the k selected pixels —
+    # the reference materializes the full (b,h,w,3j) offset volume and then
+    # gathers (hourglass_um_crop_tiny.py:756-771), which at serving batch
+    # sizes is hundreds of MB of HBM traffic for 5 survivors per joint.
     refined = refined_heatmaps(hms, hm3s, tiny_dms)
-    _, cans, _ = generate_candidates(refined, cand_xyz, cfg.num_candidates)
+    scores = refined.reshape(b, h * w, j).transpose(0, 2, 1)          # (b,j,hw)
+    _, top_idx = jax.lax.top_k(scores, cfg.num_candidates)            # (b,j,n)
+
+    xyz_sel = jnp.take_along_axis(                                    # (b,j,n,3)
+        xyzs.reshape(b, 1, h * w, 3), top_idx[..., None], axis=2)
+    hm3_sel = jnp.take_along_axis(
+        hm3s.reshape(b, h * w, j).transpose(0, 2, 1), top_idx, axis=2)
+    um_sel = jnp.take_along_axis(                                     # (b,j,n,3)
+        ums.reshape(b, h * w, j, 3).transpose(0, 2, 1, 3),
+        top_idx[..., None], axis=2)
+    dist = MAX_DIST_3D - hm3_sel * MAX_DIST_3D                        # |offset|
+    cans = xyz_sel + um_sel * dist[..., None]
     weights, _ = candidate_weights(cans, coms, cfgs, hms, tiny_dms)
 
     if cfg.use_pallas:

@@ -52,18 +52,20 @@ class Hourglass(nn.Module):
     kernel_size: int = 3
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, **kw):
         res = lambda name: Residual(kernel_size=self.kernel_size,
                                     dtype=self.dtype,
-                                    axis_name=self.axis_name, name=name)
+                                    axis_name=self.axis_name,
+                                    use_bn=self.use_bn, name=name)
         upper1 = res("upper")(x, **kw)
         lower1 = max_pool_same(x, self.kernel_size, 2)
         lower1 = res("lower_in")(lower1, **kw)
         if self.depth > 1:
             lower2 = Hourglass(self.depth - 1, self.kernel_size,
-                               self.dtype, self.axis_name,
+                               self.dtype, self.axis_name, self.use_bn,
                                name="inner")(lower1, **kw)
         else:
             lower2 = lower1
@@ -91,7 +93,7 @@ class DenseRegNet(nn.Module):
         j = c.num_joint
         kw = dict(train=train, r_max=r_max, d_max=d_max)
         bnkw = dict(bn_decay=c.bn_decay, bn_epsilon=c.bn_epsilon, dtype=dtype,
-                    axis_name=self.axis_name)
+                    axis_name=self.axis_name, use_bn=not c.fold_bn)
 
         def res(name, features=None):
             return Residual(features, kernel_size=c.kernel_size, name=name, **bnkw)
@@ -126,7 +128,8 @@ class DenseRegNet(nn.Module):
         for i in range(c.num_stack):
             sfx = f"_s{i}"
             hg = Hourglass(c.hourglass_depth, c.kernel_size, dtype,
-                           self.axis_name, name="hg" + sfx)(hg_ins, **kw)
+                           self.axis_name, not c.fold_bn,
+                           name="hg" + sfx)(hg_ins, **kw)
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)
 

@@ -153,6 +153,9 @@ class Residual(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    # False builds bias-convs instead of renorm-convs (for serving graphs
+    # fed by models.fold.fold_batch_norm)
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -162,7 +165,8 @@ class Residual(nn.Module):
         kw = dict(train=train, r_max=r_max, d_max=d_max)
         conv = lambda f, k, name: ConvBR(
             f, (k, k), bn_decay=self.bn_decay, bn_epsilon=self.bn_epsilon,
-            dtype=self.dtype, axis_name=self.axis_name, name=name)
+            dtype=self.dtype, axis_name=self.axis_name, use_bn=self.use_bn,
+            name=name)
         y = conv(half, 1, "conv1")(x, **kw)
         y = conv(half, self.kernel_size, "conv2")(y, **kw)
         y = conv(num_out, 1, "conv3")(y, **kw)

@@ -72,9 +72,11 @@ def _kernel(xs_ref, ys_ref, zs_ref, ws_ref, out_ref, *, num_it, inv_sigma,
         d2 = ((xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2)
         s = jnp.exp(inv_sigma * d2) * ws            # (n, TILE_M)
         den = jnp.sum(s, axis=0, keepdims=True)
-        cx = jnp.sum(xs * s, axis=0, keepdims=True) / den
-        cy = jnp.sum(ys * s, axis=0, keepdims=True) / den
-        cz = jnp.sum(zs * s, axis=0, keepdims=True) / den
+        ok = den > 0.0                              # guard all-zero weights
+        safe = jnp.where(ok, den, 1.0)
+        cx = jnp.where(ok, jnp.sum(xs * s, axis=0, keepdims=True) / safe, cx)
+        cy = jnp.where(ok, jnp.sum(ys * s, axis=0, keepdims=True) / safe, cy)
+        cz = jnp.where(ok, jnp.sum(zs * s, axis=0, keepdims=True) / safe, cz)
         return cx, cy, cz
 
     cx, cy, cz = jax.lax.fori_loop(0, num_it, body, (cx, cy, cz))

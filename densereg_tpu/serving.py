@@ -1,0 +1,126 @@
+"""Batched serving API.
+
+The reference has no serving story beyond the test driver; this module
+packages the full production path — full-frame depth in, xyz joints out —
+as one object:
+
+    predictor = Predictor.from_checkpoint(train_dir, net_cfg)
+    xyz = predictor(frames_mm, bbxs)        # (b, 3j) mm, camera space
+
+Internally: static-shape crop (from bbox or provided pose), center-of-mass,
+depth normalization, the stacked hourglass (optionally with batch norm
+folded into the convs), and the vote/mean-shift decode — a single jitted
+program per batch size.  Inputs are padded to the configured max batch so
+one compiled executable serves any request size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu import decode as decode_mod
+from densereg_tpu.config import CameraConfig, EvalConfig, NetConfig
+from densereg_tpu.models import DenseRegNet, fold_batch_norm
+from densereg_tpu.preprocess import (
+    area_resize,
+    crop_from_bbx,
+    center_of_mass,
+    norm_dm,
+)
+
+
+class Predictor:
+    def __init__(self, variables, net_cfg: NetConfig, camera: CameraConfig,
+                 max_batch: int = 64, ecfg: EvalConfig = EvalConfig(),
+                 fold_bn: bool = True, mesh=None):
+        if fold_bn and not net_cfg.fold_bn:
+            variables = fold_batch_norm(variables, eps=net_cfg.bn_epsilon)
+            net_cfg = dataclasses.replace(net_cfg, fold_bn=True)
+        self.net_cfg = net_cfg
+        self.camera = camera
+        self.max_batch = max_batch
+        self.variables = variables
+        self.mesh = mesh
+        net = DenseRegNet(net_cfg)
+        in_h, in_w = net_cfg.input_hw
+        out_h, out_w = net_cfg.output_hw
+        cam = camera.as_array()
+
+        def predict(variables, frames, bbxs):
+            crop = jax.vmap(
+                lambda d, b: crop_from_bbx(d, jnp.zeros((1,)), b, cam,
+                                           in_h, in_w))
+            dms, _, cfgs = crop(frames, bbxs)
+            coms = jax.vmap(center_of_mass)(dms, cfgs)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P("data"))
+                dms = jax.lax.with_sharding_constraint(dms, sh)
+            normed = norm_dm(dms, coms)
+            outs = net.apply(variables, normed, train=False)
+            tiny = area_resize(normed, out_h, out_w)
+            res = decode_mod.decode_poses(outs["hm"][-1], outs["hm3"][-1],
+                                          outs["um"][-1], tiny, cfgs, coms,
+                                          ecfg)
+            return res["xyz"]
+
+        self._predict = jax.jit(predict)
+
+    @classmethod
+    def from_checkpoint(cls, train_dir: str, net_cfg: NetConfig,
+                        camera: CameraConfig, step: Optional[int] = -1,
+                        **kwargs) -> "Predictor":
+        import os
+
+        from densereg_tpu.config import TrainConfig
+        from densereg_tpu.train.checkpoint import CheckpointManager
+        from densereg_tpu.train.state import create_train_state
+
+        state = create_train_state(jax.random.key(0), net_cfg, TrainConfig(),
+                                   steps_per_epoch=1.0)
+        mgr = CheckpointManager(os.path.join(train_dir, "ckpt"))
+        state = mgr.restore(state, step)
+        mgr.close()
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(variables, net_cfg, camera, **kwargs)
+
+    @classmethod
+    def from_converted(cls, msgpack_path: str, net_cfg: NetConfig,
+                       camera: CameraConfig, **kwargs) -> "Predictor":
+        """Load a migrated reference checkpoint
+        (tools/convert_tf_checkpoint.py)."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+        from tools.convert_tf_checkpoint import load_converted
+
+        payload = load_converted(msgpack_path)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+        return cls(variables, net_cfg, camera, **kwargs)
+
+    def __call__(self, frames_mm: np.ndarray, bbxs: np.ndarray) -> np.ndarray:
+        """frames_mm: (b, H, W) or (b, H, W, 1) raw depth, mm;
+        bbxs: (b, 5) = (top, left, bottom, right, depth_threshold).
+        Returns (b, 3j) xyz mm."""
+        frames = np.asarray(frames_mm, np.float32)
+        if frames.ndim == 3:
+            frames = frames[..., None]
+        b = frames.shape[0]
+        if b > self.max_batch:
+            return np.concatenate([
+                self(frames[i:i + self.max_batch], bbxs[i:i + self.max_batch])
+                for i in range(0, b, self.max_batch)])
+        pad = self.max_batch - b
+        if pad:
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+            bbxs = np.concatenate([bbxs, np.repeat(bbxs[-1:], pad, 0)])
+        xyz = np.asarray(self._predict(self.variables, jnp.asarray(frames),
+                                       jnp.asarray(np.asarray(bbxs,
+                                                              np.float32))))
+        return xyz[:b]

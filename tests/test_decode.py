@@ -94,3 +94,16 @@ def test_uvd_argmax():
     ds = np.full((1, 32, 32, 2), 0.33, np.float32)
     out = np.asarray(decode.uvd_argmax(jnp.asarray(hm), jnp.asarray(ds)))
     np.testing.assert_allclose(out[0], [7, 5, 0.33, 3, 20, 0.33], atol=1e-6)
+
+
+def test_zero_weight_mean_shift_no_nan():
+    """All-zero candidate weights (every reprojection off-image) must not
+    produce NaN; the voting-grid init is kept instead (the reference NaNs
+    here)."""
+    import jax.numpy as jnp
+    cans = jnp.asarray(np.full((1, 2, 5, 3), 0.3, np.float32))
+    w = jnp.zeros((1, 2, 5), jnp.float32)
+    out = np.asarray(decode.weighted_mean_shift(cans, w, 10, 0.4))
+    assert np.isfinite(out).all()
+    # all-zero votes -> last-max tiebreak picks the final cell (0.75 center)
+    np.testing.assert_allclose(out, 0.75, atol=1e-6)

@@ -65,3 +65,13 @@ def test_decode_with_pallas_backend(rng):
     np.testing.assert_allclose(np.asarray(normed),
                                np.asarray(res_ref["normed"]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_zero_weight_no_nan():
+    import numpy as np
+    cans = jnp.asarray(np.full((1, 2, 5, 3), 0.3, np.float32))
+    w = jnp.zeros((1, 2, 5), jnp.float32)
+    out = np.asarray(weighted_mean_shift_pallas(cans, w, 10, 0.4,
+                                                interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 0.75, atol=1e-6)

@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu.config import CameraConfig, NetConfig
+from densereg_tpu.models import DenseRegNet
+from densereg_tpu.serving import Predictor
+
+ICVL = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=4, input_hw=(32, 32))
+
+
+def _variables():
+    net = DenseRegNet(NET)
+    return net.init({"params": jax.random.key(0)},
+                    jnp.zeros((1, 32, 32, 1)), train=False)
+
+
+def test_predictor_shapes_padding_and_chunking(rng):
+    pred = Predictor(_variables(), NET, ICVL, max_batch=4)
+    frames = rng.uniform(300, 500, (3, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    xyz = pred(frames, bbxs)
+    assert xyz.shape == (3, 12)
+    assert np.isfinite(xyz).all()
+
+    # chunking: batch larger than max_batch gives identical per-frame results
+    frames9 = np.concatenate([frames, frames, frames])
+    bbxs9 = np.concatenate([bbxs, bbxs, bbxs])
+    xyz9 = pred(frames9, bbxs9)
+    assert xyz9.shape == (9, 12)
+    np.testing.assert_allclose(xyz9[:3], xyz, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(xyz9[3:6], xyz, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_folds_bn_by_default():
+    pred = Predictor(_variables(), NET, ICVL, max_batch=2)
+    assert pred.net_cfg.fold_bn
+    # folded tree: convs have biases, no bn params
+    p = pred.variables["params"]
+    assert "bias" in p["stem_conv"]["conv"]
+    assert "bn" not in p["stem_conv"]
+
+
+def test_compare_results_tool(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.compare_results import compare
+    from densereg_tpu.eval.writer import ResultWriter
+
+    a, b = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    with ResultWriter(a) as w:
+        w.write("f1", np.zeros(6))
+        w.write("f2", np.zeros(6))
+    with ResultWriter(b) as w:
+        w.write("f2", np.full(6, 3.0))   # shuffled order, +3mm on each axis
+        w.write("f1", np.zeros(6))
+    rep = compare(a, b)
+    assert rep["frames"] == 2
+    np.testing.assert_allclose(rep["mean_joint_error_mm"],
+                               np.sqrt(27) / 2, rtol=1e-5)
