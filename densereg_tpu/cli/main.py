@@ -79,12 +79,17 @@ def _mesh(args):
 
 
 def cmd_train(args) -> int:
+    import dataclasses
+
     from densereg_tpu.train.loop import train
 
     train_spec, val_spec = _specs(args)
     net, tcfg = _configs(args, train_spec.jnt_num)
+    tcfg = dataclasses.replace(tcfg, profile_dir=args.profile_dir,
+                               ema_decay=args.ema_decay)
+    restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
-          restore_step=args.restore_step, mesh=_mesh(args),
+          restore_step=restore, mesh=_mesh(args),
           max_steps=args.max_steps)
     return 0
 
@@ -130,7 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("train", help="train a model")
     _add_common(pt)
     pt.add_argument("--restore_step", type=int, default=None)
+    pt.add_argument("--resume", action="store_true",
+                    help="auto-resume from the latest checkpoint")
     pt.add_argument("--max_steps", type=int, default=None)
+    pt.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of a few steps")
+    pt.add_argument("--ema_decay", type=float, default=None)
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test", help="evaluate a checkpoint on the test split")

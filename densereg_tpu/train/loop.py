@@ -52,6 +52,12 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     rng = jax.random.key(tcfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = create_train_state(init_rng, net_cfg, tcfg, steps_per_epoch)
+    if restore_step == "auto":
+        # elastic restart: resume the latest checkpoint when one exists
+        # (preemption recovery the reference lacks, SURVEY.md §5)
+        restore_step = ckpt.latest_step()
+        if restore_step is not None:
+            log_fn(f"[train] auto-resume from step {restore_step}")
     if restore_step is not None and restore_step != 0:
         state = ckpt.restore(state, restore_step)
         log_fn(f"[train] restored step {int(state.step)} from {train_dir}")
@@ -105,6 +111,17 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             if step % tcfg.checkpoint_every == 0 or step + 1 == max_steps:
                 ckpt.save(state)
         return state
+    except (KeyboardInterrupt, FloatingPointError):
+        raise
+    except Exception:
+        # crash recovery: persist the live state before propagating so an
+        # auto-resume restart loses at most one step
+        try:
+            ckpt.save(state)
+            log.write(f"[train] emergency checkpoint at step {int(state.step)}")
+        except Exception:
+            pass
+        raise
     finally:
         if profiling:
             jax.profiler.stop_trace()
