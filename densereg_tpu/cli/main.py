@@ -33,6 +33,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_stack", type=int, default=2)
     p.add_argument("--num_fea", type=int, default=128)
     p.add_argument("--kernel_size", type=int, default=3)
+    p.add_argument("--net_module", default="um_v1",
+                   choices=["um_v1", "um_v1_lite"])
     p.add_argument("--epoch", type=int, default=80)
     p.add_argument("--is_aug", action=argparse.BooleanOptionalAction,
                    default=True)
@@ -60,7 +62,8 @@ def _configs(args, jnt_num):
     epochs_per_decay = {"nyu": 10, "msra": 20}.get(args.dataset, 10)
     net = NetConfig(num_stack=args.num_stack, num_fea=args.num_fea,
                     kernel_size=args.kernel_size, num_joint=jnt_num,
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    net_module=args.net_module)
     tcfg = TrainConfig(batch_size=args.batch_size, sub_batch=args.sub_batch,
                        epochs=args.epoch, augment=args.is_aug,
                        epochs_per_decay=epochs_per_decay,
@@ -90,7 +93,7 @@ def cmd_train(args) -> int:
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
           restore_step=restore, mesh=_mesh(args),
-          max_steps=args.max_steps)
+          max_steps=args.max_steps, net_name=args.net_module)
     return 0
 
 
@@ -101,7 +104,7 @@ def cmd_test(args) -> int:
     net, tcfg = _configs(args, test_spec.jnt_num)
     ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
-         mesh=_mesh(args), train_spec=train_spec)
+         mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module)
     return 0
 
 

@@ -61,6 +61,10 @@ class NetConfig:
     kernel_size: int = 3
     num_joint: int = 16
     input_hw: Tuple[int, int] = (128, 128)
+    # architecture variant: "um_v1" (reference topology) or "um_v1_lite"
+    # (depthwise-separable residual bottlenecks — same heads/decode, ~3x
+    # fewer conv FLOPs; cf. the lighter-stacked-hourglass literature)
+    net_module: str = "um_v1"
     # dtype used for conv compute; params/stats always float32.
     compute_dtype: str = "float32"
     dropout_rate: float = 0.5

@@ -53,20 +53,22 @@ class Hourglass(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     use_bn: bool = True
+    separable: bool = False
 
     @nn.compact
     def __call__(self, x, **kw):
         res = lambda name: Residual(kernel_size=self.kernel_size,
                                     dtype=self.dtype,
                                     axis_name=self.axis_name,
-                                    use_bn=self.use_bn, name=name)
+                                    use_bn=self.use_bn,
+                                    separable=self.separable, name=name)
         upper1 = res("upper")(x, **kw)
         lower1 = max_pool_same(x, self.kernel_size, 2)
         lower1 = res("lower_in")(lower1, **kw)
         if self.depth > 1:
             lower2 = Hourglass(self.depth - 1, self.kernel_size,
                                self.dtype, self.axis_name, self.use_bn,
-                               name="inner")(lower1, **kw)
+                               self.separable, name="inner")(lower1, **kw)
         else:
             lower2 = lower1
         lower3 = res("lower_out")(lower2, **kw)
@@ -94,9 +96,11 @@ class DenseRegNet(nn.Module):
         kw = dict(train=train, r_max=r_max, d_max=d_max)
         bnkw = dict(bn_decay=c.bn_decay, bn_epsilon=c.bn_epsilon, dtype=dtype,
                     axis_name=self.axis_name, use_bn=not c.fold_bn)
+        separable = c.net_module == "um_v1_lite"
 
         def res(name, features=None):
-            return Residual(features, kernel_size=c.kernel_size, name=name, **bnkw)
+            return Residual(features, kernel_size=c.kernel_size,
+                            separable=separable, name=name, **bnkw)
 
         x = dms.astype(dtype)
 
@@ -128,7 +132,7 @@ class DenseRegNet(nn.Module):
         for i in range(c.num_stack):
             sfx = f"_s{i}"
             hg = Hourglass(c.hourglass_depth, c.kernel_size, dtype,
-                           self.axis_name, not c.fold_bn,
+                           self.axis_name, not c.fold_bn, separable,
                            name="hg" + sfx)(hg_ins, **kw)
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)

@@ -116,6 +116,7 @@ class ConvBR(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    feature_group_count: int = 1
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -125,6 +126,7 @@ class ConvBR(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             use_bias=not self.use_bn,
+            feature_group_count=self.feature_group_count,
             kernel_init=_trunc_normal(self.stddev),
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -156,6 +158,8 @@ class Residual(nn.Module):
     # False builds bias-convs instead of renorm-convs (for serving graphs
     # fed by models.fold.fold_batch_norm)
     use_bn: bool = True
+    # depthwise-separable middle conv (the "um_v1_lite" variant)
+    separable: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -163,12 +167,13 @@ class Residual(nn.Module):
         num_out = self.features if self.features is not None else num_in
         half = num_in // 2
         kw = dict(train=train, r_max=r_max, d_max=d_max)
-        conv = lambda f, k, name: ConvBR(
+        conv = lambda f, k, name, groups=1: ConvBR(
             f, (k, k), bn_decay=self.bn_decay, bn_epsilon=self.bn_epsilon,
             dtype=self.dtype, axis_name=self.axis_name, use_bn=self.use_bn,
-            name=name)
+            feature_group_count=groups, name=name)
         y = conv(half, 1, "conv1")(x, **kw)
-        y = conv(half, self.kernel_size, "conv2")(y, **kw)
+        y = conv(half, self.kernel_size, "conv2",
+                 groups=half if self.separable else 1)(y, **kw)
         y = conv(num_out, 1, "conv3")(y, **kw)
         if num_out == num_in:
             s = x

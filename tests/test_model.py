@@ -99,3 +99,22 @@ def test_param_count_topology():
     # heads have biases (no BN), BN convs don't
     assert "bias" in p["hm_head_s0"]["conv"]
     assert "bias" not in p["stem_conv"]["conv"]
+
+
+def test_lite_variant_smaller_and_runs():
+    """um_v1_lite: depthwise-separable residual bottlenecks; same heads and
+    output contract, substantially fewer parameters."""
+    ref = _tiny_cfg(num_stack=1)
+    lite = _tiny_cfg(num_stack=1, net_module="um_v1_lite")
+    x = jnp.zeros((1, 128, 128, 1))
+    pr = DenseRegNet(ref).init({"params": jax.random.key(0)}, x, train=False)
+    pl = DenseRegNet(lite).init({"params": jax.random.key(0)}, x, train=False)
+    n_ref = sum(p.size for p in jax.tree_util.tree_leaves(pr["params"]))
+    n_lite = sum(p.size for p in jax.tree_util.tree_leaves(pl["params"]))
+    assert n_lite < n_ref
+    out = DenseRegNet(lite).apply(pl, x, train=False)
+    assert out["hm"][0].shape == (1, 32, 32, 4)
+    assert out["um"][0].shape == (1, 32, 32, 12)
+    # the middle conv of a residual is depthwise: kernel (k,k,1,half)
+    k = pl["params"]["stem_res2"]["conv2"]["conv"]["kernel"]
+    assert k.shape[2] == 1
