@@ -184,27 +184,35 @@ class Residual(nn.Module):
 
 def max_pool_same(x, window: int, stride: int):
     """Max pool with SAME padding (slim ``ops.max_pool``,
-    /root/reference/network/slim/ops.py:640-670)."""
+    /root/reference/network/slim/ops.py:640-670).
+
+    Implemented as an elementwise max over the window^2 strided slices
+    rather than ``lax.reduce_window``: the forward is identical, but the
+    backward becomes a handful of masked adds instead of TPU's slow
+    select-and-scatter.  (Gradient tie-breaking differs on exactly-equal
+    window elements — split across ties instead of first-wins — which is
+    irrelevant to training.)
+    """
     h, w = x.shape[-3], x.shape[-2]
     out_h = -(-h // stride)
     out_w = -(-w // stride)
     pad_h = max((out_h - 1) * stride + window - h, 0)
     pad_w = max((out_w - 1) * stride + window - w, 0)
+    neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
     pads = [(0, 0)] * (x.ndim - 3) + [
         (pad_h // 2, pad_h - pad_h // 2),
         (pad_w // 2, pad_w - pad_w // 2),
         (0, 0),
     ]
-    # -inf (the exact max-monoid identity) is required for JAX to dispatch to
-    # the differentiable reduce_window_max primitive.
-    neg_inf = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-               else jnp.iinfo(x.dtype).min)
-    return jax.lax.reduce_window(
-        x, neg_inf, jax.lax.max,
-        window_dimensions=(1,) * (x.ndim - 3) + (window, window, 1),
-        window_strides=(1,) * (x.ndim - 3) + (stride, stride, 1),
-        padding=[(0, 0)] * (x.ndim - 3) + pads[-3:],
-    )
+    xp = jnp.pad(x, pads, constant_values=neg_inf)
+    out = None
+    for i in range(window):
+        for j in range(window):
+            s = xp[..., i:i + (out_h - 1) * stride + 1:stride,
+                   j:j + (out_w - 1) * stride + 1:stride, :]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def upsample_nearest_2x(x):

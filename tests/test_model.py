@@ -118,3 +118,22 @@ def test_lite_variant_smaller_and_runs():
     # the middle conv of a residual is depthwise: kernel (k,k,1,half)
     k = pl["params"]["stem_res2"]["conv2"]["conv"]["kernel"]
     assert k.shape[2] == 1
+
+
+def test_max_pool_same_matches_reduce_window(rng):
+    from densereg_tpu.models.layers import max_pool_same
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 33, 47, 5)).astype(np.float32))
+    for window, stride in ((3, 2), (2, 2), (3, 1)):
+        got = max_pool_same(x, window, stride)
+        h, w = 33, 47
+        out_h, out_w = -(-h // stride), -(-w // stride)
+        pad_h = max((out_h - 1) * stride + window - h, 0)
+        pad_w = max((out_w - 1) * stride + window - w, 0)
+        ref = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1, window, window, 1), (1, stride, stride, 1),
+            [(0, 0), (pad_h // 2, pad_h - pad_h // 2),
+             (pad_w // 2, pad_w - pad_w // 2), (0, 0)])
+        assert got.shape == ref.shape, (window, stride)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
