@@ -53,7 +53,13 @@ def _build(batch, compute_dtype, use_pallas=False):
         rng.uniform(300.0, 500.0, (batch, 128, 128, 1)).astype(np.float32))
     variables = net.init({"params": jax.random.key(0)},
                          jnp.zeros((1, 128, 128, 1)), train=False)
-    if os.environ.get("BENCH_FOLD", "1") == "1":
+    if os.environ.get("BENCH_QUANT", "0") == "1":
+        # int8 serving path (folded + per-channel weight quantization)
+        from densereg_tpu.models.quantize import quantize_weights
+        variables = quantize_weights(
+            fold_batch_norm(variables, eps=net_cfg.bn_epsilon))
+        net_cfg = dataclasses.replace(net_cfg, fold_bn=True, quantize=True)
+    elif os.environ.get("BENCH_FOLD", "1") == "1":
         # serving default: batch norm folded into the conv weights
         variables = fold_batch_norm(variables, eps=net_cfg.bn_epsilon)
         net_cfg = dataclasses.replace(net_cfg, fold_bn=True)

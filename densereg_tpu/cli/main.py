@@ -30,6 +30,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pid", type=int, default=0, help="msra subject id")
     p.add_argument("--batch_size", type=int, default=40)
     p.add_argument("--sub_batch", type=int, default=5)
+    p.add_argument("--debug_level", type=int, default=1,
+                   help="gates validation image summaries (reference flag)")
     p.add_argument("--num_stack", type=int, default=2)
     p.add_argument("--num_fea", type=int, default=128)
     p.add_argument("--kernel_size", type=int, default=3)
@@ -93,7 +95,8 @@ def cmd_train(args) -> int:
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
           restore_step=restore, mesh=_mesh(args),
-          max_steps=args.max_steps, net_name=args.net_module)
+          max_steps=args.max_steps, net_name=args.net_module,
+          debug_level=args.debug_level)
     return 0
 
 

@@ -74,6 +74,9 @@ class NetConfig:
     # into the conv weights is exact and removes every per-layer
     # normalize/cast pass from the serving path.
     fold_bn: bool = False
+    # Serving-only: int8 convolutions (requires fold_bn; params from
+    # densereg_tpu.models.quantize.quantize_weights).
+    quantize: bool = False
     # Batch-renorm hyperparameters (/root/reference/network/slim/ops.py:42-166
     # plus the per-layer arg_scope at /root/reference/network/um_v1.py:9-12).
     bn_decay: float = 0.99

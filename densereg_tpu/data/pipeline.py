@@ -51,28 +51,35 @@ class InputPipeline:
 
     def __init__(self, spec: DatasetSpec, batch_size: int, sub_batch: int = 1,
                  input_hw=(128, 128), seed: int = 0, mesh=None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, num_workers: int = 1):
         self.spec = spec
         self.batch_size = batch_size
         self.sub_batch = sub_batch
         self.input_hw = input_hw
         self.mesh = mesh
-        self._rng = np.random.default_rng(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
+        # Parallel-interleave producers (each with its own shard order);
+        # numpy's zlib decompression releases the GIL so workers overlap.
+        self._threads = [
+            threading.Thread(target=self._producer,
+                             args=(np.random.default_rng(seed + 7919 * i),),
+                             daemon=True)
+            for i in range(max(num_workers, 1))
+        ]
+        for t in self._threads:
+            t.start()
 
     # -- host side ---------------------------------------------------------
-    def _producer(self):
+    def _producer(self, rng):
         readers = self.spec.readers()
         need = self.batch_size * self.sub_batch
         pool_d, pool_p = [], []
         while not self._stop.is_set():
-            order = self._rng.permutation(len(readers))
+            order = rng.permutation(len(readers))
             for ri in order:
                 reader = readers[ri]
-                idxs = self._rng.permutation(len(reader))
+                idxs = rng.permutation(len(reader))
                 d, p, _, _ = _load_frames(reader, idxs, self.spec)
                 pool_d.append(d)
                 pool_p.append(p)

@@ -54,6 +54,7 @@ class Hourglass(nn.Module):
     axis_name: str | None = None
     use_bn: bool = True
     separable: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, **kw):
@@ -61,14 +62,16 @@ class Hourglass(nn.Module):
                                     dtype=self.dtype,
                                     axis_name=self.axis_name,
                                     use_bn=self.use_bn,
-                                    separable=self.separable, name=name)
+                                    separable=self.separable,
+                                    quantized=self.quantized, name=name)
         upper1 = res("upper")(x, **kw)
         lower1 = max_pool_same(x, self.kernel_size, 2)
         lower1 = res("lower_in")(lower1, **kw)
         if self.depth > 1:
             lower2 = Hourglass(self.depth - 1, self.kernel_size,
                                self.dtype, self.axis_name, self.use_bn,
-                               self.separable, name="inner")(lower1, **kw)
+                               self.separable, self.quantized,
+                               name="inner")(lower1, **kw)
         else:
             lower2 = lower1
         lower3 = res("lower_out")(lower2, **kw)
@@ -95,7 +98,8 @@ class DenseRegNet(nn.Module):
         j = c.num_joint
         kw = dict(train=train, r_max=r_max, d_max=d_max)
         bnkw = dict(bn_decay=c.bn_decay, bn_epsilon=c.bn_epsilon, dtype=dtype,
-                    axis_name=self.axis_name, use_bn=not c.fold_bn)
+                    axis_name=self.axis_name, use_bn=not c.fold_bn,
+                    quantized=c.quantize)
         separable = c.net_module == "um_v1_lite"
 
         def res(name, features=None):
@@ -125,7 +129,8 @@ class DenseRegNet(nn.Module):
              tiny_dm], axis=-1)
 
         head = lambda f, name: ConvBR(f, (1, 1), use_bn=False,
-                                      activation=None, dtype=dtype, name=name)
+                                      activation=None, dtype=dtype,
+                                      quantized=c.quantize, name=name)
         invalid = tiny_dm < -0.9
 
         outs: Dict[str, List] = {"hm": [], "hm3": [], "um": []}
@@ -133,7 +138,7 @@ class DenseRegNet(nn.Module):
             sfx = f"_s{i}"
             hg = Hourglass(c.hourglass_depth, c.kernel_size, dtype,
                            self.axis_name, not c.fold_bn, separable,
-                           name="hg" + sfx)(hg_ins, **kw)
+                           c.quantize, name="hg" + sfx)(hg_ins, **kw)
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)
 
@@ -159,10 +164,12 @@ class DenseRegNet(nn.Module):
             comb = jnp.concatenate([comb, uvd], axis=-1)
 
             um_full = ConvBR(512, (1, 1), use_bn=False, activation=nn.relu,
-                             dtype=dtype, name="um_fc1" + sfx)(comb, **kw)
+                             dtype=dtype, quantized=c.quantize,
+                             name="um_fc1" + sfx)(comb, **kw)
             um_full = nn.Dropout(c.dropout_rate, deterministic=not train)(um_full)
             um_full = ConvBR(512, (1, 1), use_bn=False, activation=nn.relu,
-                             dtype=dtype, name="um_fc2" + sfx)(um_full, **kw)
+                             dtype=dtype, quantized=c.quantize,
+                             name="um_fc2" + sfx)(um_full, **kw)
             um_full = nn.Dropout(c.dropout_rate, deterministic=not train)(um_full)
             um_out = head(3 * j, "um_head" + sfx)(um_full, **kw)
 

@@ -117,9 +117,15 @@ class ConvBR(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     feature_group_count: int = 1
+    # int8 serving path: expects {kernel_q int8, scale f32 (out,), bias}
+    # produced by models.quantize.quantize_weights on a folded graph;
+    # activations are quantized dynamically (per-tensor symmetric max).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
+        if self.quantized:
+            return self._quantized_call(x)
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -141,6 +147,37 @@ class ConvBR(nn.Module):
             x = self.activation(x)
         return x
 
+    def _quantized_call(self, x):
+        """int8 x int8 -> int32 conv on the MXU with dynamic per-tensor
+        activation scaling; dequantize + bias + activation in float."""
+        in_ch = x.shape[-1] // 1
+        k_h, k_w = self.kernel
+        kernel_q = self.param(
+            "kernel_q",
+            lambda _: jnp.zeros(
+                (k_h, k_w, in_ch // self.feature_group_count, self.features),
+                jnp.int8))
+        scale = self.param("scale",
+                           lambda _: jnp.ones((self.features,), jnp.float32))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q, kernel_q,
+            window_strides=(self.stride, self.stride),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_x * scale) + bias
+        if self.activation is not None:
+            y = self.activation(y)
+        return y.astype(self.dtype)
+
 
 class Residual(nn.Module):
     """Bottleneck residual (/root/reference/network/um_v1.py:18-48):
@@ -160,6 +197,7 @@ class Residual(nn.Module):
     use_bn: bool = True
     # depthwise-separable middle conv (the "um_v1_lite" variant)
     separable: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, r_max=None, d_max=None):
@@ -170,7 +208,7 @@ class Residual(nn.Module):
         conv = lambda f, k, name, groups=1: ConvBR(
             f, (k, k), bn_decay=self.bn_decay, bn_epsilon=self.bn_epsilon,
             dtype=self.dtype, axis_name=self.axis_name, use_bn=self.use_bn,
-            feature_group_count=groups, name=name)
+            feature_group_count=groups, quantized=self.quantized, name=name)
         y = conv(half, 1, "conv1")(x, **kw)
         y = conv(half, self.kernel_size, "conv2",
                  groups=half if self.separable else 1)(y, **kw)

@@ -32,7 +32,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
           val_spec: Optional[DatasetSpec] = None,
           restore_step: Optional[int] = None, mesh=None,
           max_steps: Optional[int] = None, net_name: str = "um_v1",
-          log_fn=print):
+          debug_level: int = 1, log_fn=print):
     """Train on a dataset; returns the final TrainState."""
     if val_spec is not None and val_spec.jnt_num != spec.jnt_num:
         raise ValueError("validation dataset must share the joint count "
@@ -68,10 +68,15 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
 
     val_iterable = None
     infer_fn = None
+    image_writer = None
     if val_spec is not None:
+        from densereg_tpu.eval.visualization import SummaryImageWriter
+
         infer_fn = make_infer_fn(net_cfg, EvalConfig(batch_size=3))
         val_pipeline = TestPipeline(val_spec, batch_size=3,
                                     input_hw=net_cfg.input_hw)
+        image_writer = SummaryImageWriter(
+            os.path.join(train_dir, "summary"), debug_level=debug_level)
 
     decay_steps = int(steps_per_epoch * tcfg.epochs_per_decay)
     log_fn(f"[train] lr decays per {decay_steps} steps x{tcfg.lr_decay_factor}"
@@ -107,7 +112,8 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                 metrics_log.log(step, **{k: float(v)
                                          for k, v in metrics.items()})
             if val_spec is not None and step % tcfg.validate_every == 0:
-                _validate(infer_fn, state, val_pipeline, log, step, log_fn)
+                _validate(infer_fn, state, val_pipeline, log, step, log_fn,
+                          image_writer, spec.name)
             if step % tcfg.checkpoint_every == 0 or step + 1 == max_steps:
                 ckpt.save(state)
         return state
@@ -131,9 +137,13 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         ckpt.close()
 
 
-def _validate(infer_fn, state, val_pipeline, log, step, log_fn):
+def _validate(infer_fn, state, val_pipeline, log, step, log_fn,
+              image_writer=None, dataset_name="icvl"):
     """One validation batch: per-joint error matrix to the validation log
-    (/root/reference/model/hourglass_um_crop_tiny.py:816-840)."""
+    (/root/reference/model/hourglass_um_crop_tiny.py:816-840) plus skeleton
+    overlay images through the visual-QA channel (debug_level-gated PNGs,
+    replacing the reference's TB image summaries, ibid.:487-516)."""
+    from densereg_tpu import geometry
     from densereg_tpu.eval.metrics import max_joint_error
 
     batch = next(iter(val_pipeline))
@@ -150,6 +160,12 @@ def _validate(infer_fn, state, val_pipeline, log, step, log_fn):
             np.concatenate([diff[i], dist[i][:, None]], axis=1)))
     log.write(f"validation error: {errs}")
     log_fn(f"[validate] step {step} maxJntError {errs}")
+
+    if image_writer is not None:
+        uvd = np.asarray(geometry.xyz2uvd(
+            jnp.asarray(xyz), batch["cfg"])).reshape(xyz.shape[0], -1, 3)
+        image_writer.save_batch_skeletons("val_pts", np.asarray(batch["dm"]),
+                                          uvd, dataset_name, step)
 
 
 def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,

@@ -127,3 +127,18 @@ def test_png16_roundtrip(tmp_path):
                                                            bits=16)
     got = read_depth_png(p)
     np.testing.assert_array_equal(got, depth)
+
+
+def test_train_pipeline_multiworker(tmp_path):
+    spec = get_dataset("synthetic", "training", directory=str(tmp_path),
+                       num_shards=2, samples_per_shard=8)
+    pipe = InputPipeline(spec, batch_size=2, sub_batch=1, input_hw=(32, 32),
+                         num_workers=3)
+    try:
+        it = iter(pipe)
+        for _ in range(5):
+            batch = next(it)
+            assert batch["dm"].shape == (1, 2, 32, 32, 1)
+            assert np.isfinite(np.asarray(batch["com"])).all()
+    finally:
+        pipe.close()

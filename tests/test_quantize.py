@@ -1,0 +1,85 @@
+"""int8 post-training quantization: structure, closeness to the float
+graph, and end-to-end pose stability."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu.config import NetConfig
+from densereg_tpu.models import DenseRegNet, fold_batch_norm
+from densereg_tpu.models.quantize import quantize_weights, quantized_net_config
+
+CFG = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+
+
+def _float_and_quant(rng_key, x):
+    net = DenseRegNet(CFG)
+    variables = net.init({"params": rng_key}, x, train=False)
+    _, mutated = net.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(3)})
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+    folded = fold_batch_norm(variables, eps=CFG.bn_epsilon)
+    quant = quantize_weights(folded)
+    return variables, quant
+
+
+def test_quantized_tree_matches_model(rng):
+    x = jnp.zeros((1, 32, 32, 1))
+    _, quant = _float_and_quant(jax.random.key(0), x)
+    qcfg = quantized_net_config(CFG)
+    expect = DenseRegNet(qcfg).init({"params": jax.random.key(1)}, x,
+                                    train=False)
+    assert (jax.tree_util.tree_structure(quant["params"])
+            == jax.tree_util.tree_structure(expect["params"]))
+    k = quant["params"]["stem_conv"]["kernel_q"]
+    assert k.dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(k.astype(jnp.int32)))) <= 127
+
+
+def test_quantized_outputs_close_to_float(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    variables, quant = _float_and_quant(jax.random.key(0), x)
+    ref = DenseRegNet(CFG).apply(variables, x, train=False)
+    got = DenseRegNet(quantized_net_config(CFG)).apply(quant, x, train=False)
+    for key in ("hm", "hm3", "um"):
+        a = np.asarray(ref[key][-1])
+        b = np.asarray(got[key][-1])
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 0.1, (
+            key, np.abs(a - b).max(), scale)
+
+
+def test_quantized_decode_pose_stability(rng):
+    """End-to-end: int8 vs float decoded poses within ~2 mm on GT-like maps
+    perturbed through the quantized network path."""
+    from densereg_tpu import decode
+    from densereg_tpu.preprocess import area_resize, norm_dm
+    from densereg_tpu import geometry
+    from densereg_tpu.config import CameraConfig
+
+    icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+    cfg32 = geometry.scale_cfg(icvl.as_array(), 32, 32)
+    b = 2
+    dms = jnp.asarray(rng.uniform(330, 470, (b, 32, 32, 1))
+                      .astype(np.float32))
+    coms = jnp.asarray(np.tile([[0.0, 0.0, 400.0]], (b, 1)).astype(np.float32))
+    cfgs = jnp.tile(cfg32[None], (b, 1))
+    normed = norm_dm(dms, coms)
+
+    variables, quant = _float_and_quant(jax.random.key(0), normed)
+    out_f = DenseRegNet(CFG).apply(variables, normed, train=False)
+    out_q = DenseRegNet(quantized_net_config(CFG)).apply(quant, normed,
+                                                         train=False)
+    tiny = area_resize(normed, 8, 8)
+    cfg8 = geometry.scale_cfg(cfgs, 8, 8)
+
+    def dec(out):
+        return decode.decode_poses(out["hm"][-1], out["hm3"][-1],
+                                   out["um"][-1], tiny, cfg8, coms)["xyz"]
+
+    xf, xq = np.asarray(dec(out_f)), np.asarray(dec(out_q))
+    delta = np.linalg.norm((xf - xq).reshape(-1, 3), axis=-1)
+    assert delta.max() < 10.0, delta.max()  # untrained net: loose bound
