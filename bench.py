@@ -111,7 +111,8 @@ def main():
     on_accel = dev.platform != "cpu"
     value = _measure(dev, BATCH if on_accel else CPU_BATCH,
                      "bfloat16" if on_accel else "float32",
-                     iters=30 if on_accel else 2)
+                     iters=30 if on_accel else 2,
+                     use_pallas=on_accel)  # fused decode kernel on TPU
 
     cpu_fps = None
     if os.path.exists(BASELINE_FILE) and not os.environ.get(

@@ -17,8 +17,6 @@ applied about the projected center of mass, which by construction of
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

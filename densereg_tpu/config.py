@@ -151,6 +151,7 @@ class EvalConfig:
     band_width: float = 0.4
     vote_grid: int = 4            # 4x4x4 quantized voting grid
     use_pallas: bool = False      # fused decode kernel (jnp fallback otherwise)
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
 
 def model_desc(dataset_name: str, subset: str, net: NetConfig, augment: bool,

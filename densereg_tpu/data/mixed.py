@@ -12,7 +12,7 @@ which is the user's modelling decision, not the pipeline's.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -17,9 +17,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,7 +71,9 @@ class InputPipeline:
 
     # -- host side ---------------------------------------------------------
     def _producer(self, rng):
-        readers = self.spec.readers()
+        # drop empty shards (linspace sharding can leave some empty when the
+        # sample count is below the dataset's conventional shard count)
+        readers = [r for r in self.spec.readers() if len(r) > 0]
         need = self.batch_size * self.sub_batch
         pool_d, pool_p = [], []
         while not self._stop.is_set():
@@ -153,6 +154,8 @@ class TestPipeline:
             if reader.path in seen_paths:  # reference dups the last shard
                 continue
             seen_paths.add(reader.path)
+            if len(reader) == 0:
+                continue
             idxs = np.arange(len(reader))
             d, p, names, bbx = _load_frames(reader, idxs, self.spec)
             for i in range(len(idxs)):

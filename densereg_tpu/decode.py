@@ -14,9 +14,6 @@ reference implementation).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -157,6 +154,21 @@ def decode_poses(hms, hm3s, ums, tiny_dms, cfgs, coms,
       ``candidates (b, j, n, 3)``, ``weights (b, j, n)``.
     """
     b, h, w, j = hms.shape
+
+    if cfg.use_pallas:
+        # the fully fused kernel covers every stage below (backprojection,
+        # refined scores, top-k, weights, vote init, mean shift)
+        from densereg_tpu.ops.fused_decode import fused_decode
+
+        normed = fused_decode(hms, hm3s, ums, tiny_dms, cfgs, coms,
+                              num_pt=cfg.num_candidates,
+                              num_it=cfg.mean_shift_iters,
+                              band_width=cfg.band_width,
+                              interpret=cfg.pallas_interpret)
+        xyz = geometry.unnorm_xyz_pose(normed.reshape(b, -1), coms)
+        return {"xyz": xyz, "normed": normed, "candidates": None,
+                "weights": None}
+
     xyzs = geometry.backproject_dm(tiny_dms, cfgs, coms)              # (b,h,w,3)
 
     # Top-k FIRST, then reconstruct offsets only at the k selected pixels —
@@ -178,13 +190,8 @@ def decode_poses(hms, hm3s, ums, tiny_dms, cfgs, coms,
     cans = xyz_sel + um_sel * dist[..., None]
     weights, _ = candidate_weights(cans, coms, cfgs, hms, tiny_dms)
 
-    if cfg.use_pallas:
-        from densereg_tpu.ops.meanshift_pallas import weighted_mean_shift_pallas
-        normed = weighted_mean_shift_pallas(
-            cans, weights, cfg.mean_shift_iters, cfg.band_width)
-    else:
-        normed = weighted_mean_shift(
-            cans, weights, cfg.mean_shift_iters, cfg.band_width)
+    normed = weighted_mean_shift(
+        cans, weights, cfg.mean_shift_iters, cfg.band_width)
 
     xyz = geometry.unnorm_xyz_pose(normed.reshape(b, -1), coms)
     return {"xyz": xyz, "normed": normed, "candidates": cans,

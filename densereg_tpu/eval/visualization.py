@@ -16,7 +16,7 @@ wrist 11/12 + thumb root 9-10) and msra (palm + 5x4 chains).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ the jitted train step explicitly — no hidden mutable state.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

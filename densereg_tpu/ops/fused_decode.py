@@ -1,0 +1,191 @@
+"""Fully fused Pallas vote-decode kernel.
+
+The BASELINE.json north star names "the voting/argmax joint-decoding
+post-process [as] a single Pallas kernel fusing heatmap-weighted offset
+aggregation and 3D joint recovery" — this is that kernel.  One program per
+batch element fuses, entirely in VMEM:
+
+  1. point-cloud backprojection of the normalized depth row (from the
+     per-sample intrinsics/center-of-mass scalars in SMEM),
+  2. the refined selection scores ``(hm+1) * hm3 * valid``,
+  3. iterative top-k candidate extraction (k rounds of lane-max + first-index
+     tie-break, matching ``lax.top_k`` order) with one-hot gathers of the
+     offset/heatmap planes,
+  4. reprojection weighting (out-of-image -> 0, as the jnp oracle),
+  5. the 4x4x4 voting-grid initialization (last-max-cell tie-break) and the
+     weighted Gaussian mean shift.
+
+Layout: joints ride the sublane axis (j=16) and the 32x32=1024 pixels ride
+lanes, so every step is a dense (j, hw) VPU op; per-joint "gathers" are
+one-hot masked lane reductions.  Oracle: densereg_tpu.decode.decode_poses
+(exact-match test in tests/test_fused_decode.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from densereg_tpu.config import D_RANGE, MAX_DIST_3D, POSE_NORM_RATIO
+
+GRID = 4
+NUM_CELLS = GRID ** 3
+
+
+def _kernel(cfg_ref, com_ref, hm_ref, hm3_ref, umx_ref, umy_ref, umz_ref,
+            dm_ref, out_ref, *, h, w, num_pt, num_it, inv_sigma):
+    j, hw = hm_ref.shape[1], hm_ref.shape[2]
+    hm = hm_ref[0]            # (j, hw)
+    hm3 = hm3_ref[0]
+    umx, umy, umz = umx_ref[0], umy_ref[0], umz_ref[0]
+    dmrow = dm_ref[0]         # (1, hw)
+
+    fx, fy, cx, cy, cw, ch = (cfg_ref[0, 0, k] for k in range(6))
+    com_x, com_y, com_z = (com_ref[0, 0, k] for k in range(3))
+    # intrinsics rescaled to the heatmap resolution
+    fx = fx / (cw / w)
+    fy = fy / (ch / h)
+    cx = cx / (cw / w)
+    cy = cy / (ch / h)
+
+    # --- backprojection (geometry.backproject_dm) -------------------------
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, hw), 1)
+    col = (lane % w).astype(jnp.float32)
+    row = (lane // w).astype(jnp.float32)
+    invalid = dmrow < -0.99
+    z_mm = jnp.where(invalid, com_z + D_RANGE * 0.5,
+                     dmrow * D_RANGE + com_z - D_RANGE * 0.5)
+    px = ((col - cx) * z_mm / fx - com_x) / POSE_NORM_RATIO   # (1, hw)
+    py = ((row - cy) * z_mm / fy - com_y) / POSE_NORM_RATIO
+    pz = (z_mm - com_z) / POSE_NORM_RATIO
+
+    refined = (hm + 1.0) * hm3 * jnp.where(invalid, 0.0, 1.0)
+
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (j, hw), 1)
+
+    def select_candidate(ref_scores):
+        """lane-max with first-index tie-break -> one-hot (j, hw)."""
+        mx = jnp.max(ref_scores, axis=1, keepdims=True)
+        at_max = ref_scores == mx
+        idx = jnp.min(jnp.where(at_max, jlane, hw), axis=1, keepdims=True)
+        return jlane == idx
+
+    cxs, cys, czs, ws = [], [], [], []
+    for _ in range(num_pt):
+        sel = select_candidate(refined)
+        gather = lambda plane: jnp.sum(jnp.where(sel, plane, 0.0), axis=1,
+                                       keepdims=True)     # (j, 1)
+        h3 = gather(hm3)
+        dist = MAX_DIST_3D - h3 * MAX_DIST_3D
+        can_x = gather(px) + gather(umx) * dist
+        can_y = gather(py) + gather(umy) * dist
+        can_z = gather(pz) + gather(umz) * dist
+
+        # reprojection weight (decode.candidate_weights): unnormalize,
+        # project with the heatmap-res intrinsics, gather hm, 0 off-image
+        x_mm = can_x * POSE_NORM_RATIO + com_x
+        y_mm = can_y * POSE_NORM_RATIO + com_y
+        z_c = can_z * POSE_NORM_RATIO + com_z
+        uu = (x_mm * fx / z_c + cx + 0.5).astype(jnp.int32)   # (j, 1)
+        vv = (y_mm * fy / z_c + cy + 0.5).astype(jnp.int32)
+        inb = ((uu >= 0) & (uu < w) & (vv >= 0) & (vv < h))
+        flat = jnp.clip(vv * w + uu, 0, hw - 1)
+        onehot2 = jlane == flat
+        wgt = jnp.sum(jnp.where(onehot2, hm, 0.0), axis=1, keepdims=True)
+        wgt = jnp.where(inb, wgt, 0.0)
+
+        cxs.append(can_x)
+        cys.append(can_y)
+        czs.append(can_z)
+        ws.append(wgt)
+        refined = jnp.where(sel, -jnp.inf, refined)
+
+    xs = jnp.concatenate(cxs, axis=1)   # (j, n)
+    ys = jnp.concatenate(cys, axis=1)
+    zs = jnp.concatenate(czs, axis=1)
+    wv = jnp.concatenate(ws, axis=1)
+
+    # --- voting-grid init (last maximal cell) -----------------------------
+    quant = lambda v: jnp.clip((v + 1.0) * (GRID / 2), 0.0,
+                               GRID - 0.1).astype(jnp.int32)
+    flat_cell = (quant(xs) * GRID + quant(ys)) * GRID + quant(zs)
+    best_votes = jnp.full((j, 1), -1.0, jnp.float32)
+    best_cell = jnp.zeros((j, 1), jnp.int32)
+    for cell in range(NUM_CELLS):
+        votes = jnp.sum(jnp.where(flat_cell == cell, wv, 0.0), axis=1,
+                        keepdims=True)
+        take = votes >= best_votes
+        best_votes = jnp.where(take, votes, best_votes)
+        best_cell = jnp.where(take, cell, best_cell)
+    offs = 1.0 / GRID - 1.0
+    cur_x = (best_cell // (GRID * GRID)).astype(jnp.float32) * (2.0 / GRID) + offs
+    cur_y = ((best_cell // GRID) % GRID).astype(jnp.float32) * (2.0 / GRID) + offs
+    cur_z = (best_cell % GRID).astype(jnp.float32) * (2.0 / GRID) + offs
+
+    # --- weighted mean shift ----------------------------------------------
+    def body(_, carry):
+        ax, ay, az = carry
+        d2 = (xs - ax) ** 2 + (ys - ay) ** 2 + (zs - az) ** 2
+        s = jnp.exp(inv_sigma * d2) * wv
+        den = jnp.sum(s, axis=1, keepdims=True)
+        ok = den > 0.0
+        safe = jnp.where(ok, den, 1.0)
+        ax = jnp.where(ok, jnp.sum(xs * s, axis=1, keepdims=True) / safe, ax)
+        ay = jnp.where(ok, jnp.sum(ys * s, axis=1, keepdims=True) / safe, ay)
+        az = jnp.where(ok, jnp.sum(zs * s, axis=1, keepdims=True) / safe, az)
+        return ax, ay, az
+
+    cur_x, cur_y, cur_z = jax.lax.fori_loop(0, num_it, body,
+                                            (cur_x, cur_y, cur_z))
+    out_ref[0, :, 0:1] = cur_x
+    out_ref[0, :, 1:2] = cur_y
+    out_ref[0, :, 2:3] = cur_z
+    out_ref[0, :, 3:4] = cur_z  # pad lane (sliced away by the caller)
+
+
+@functools.partial(jax.jit, static_argnames=("num_pt", "num_it",
+                                             "band_width", "interpret"))
+def fused_decode(hms, hm3s, ums, tiny_dms, cfgs, coms, num_pt: int = 5,
+                 num_it: int = 10, band_width: float = 0.4,
+                 interpret: bool = False):
+    """hms/hm3s (b,h,w,j); ums (b,h,w,3j); tiny_dms (b,h,w,1); cfgs (b,6);
+    coms (b,3) -> normalized poses (b, j, 3)."""
+    b, h, w, j = hms.shape
+    hw = h * w
+    f32 = jnp.float32
+
+    to_jhw = lambda a: a.reshape(b, hw, j).transpose(0, 2, 1).astype(f32)
+    hm_t = to_jhw(hms)
+    hm3_t = to_jhw(hm3s)
+    um = ums.reshape(b, hw, j, 3).transpose(0, 3, 2, 1).astype(f32)
+    umx, umy, umz = um[:, 0], um[:, 1], um[:, 2]        # (b, j, hw)
+    dm_t = tiny_dms.reshape(b, 1, hw).astype(f32)
+
+    spec_jhw = pl.BlockSpec((1, j, hw), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_dm = pl.BlockSpec((1, 1, hw), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    # SMEM blocks must match the array's trailing dims exactly -> (b, 1, k)
+    spec_cfg = pl.BlockSpec((1, 1, 6), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+    spec_com = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, num_pt=num_pt, num_it=num_it,
+                          inv_sigma=-1.0 / (2.0 * band_width * band_width)),
+        out_shape=jax.ShapeDtypeStruct((b, j, 4), f32),
+        grid=(b,),
+        in_specs=[spec_cfg, spec_com, spec_jhw, spec_jhw, spec_jhw,
+                  spec_jhw, spec_jhw, spec_dm],
+        out_specs=pl.BlockSpec((1, j, 4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cfgs.astype(f32).reshape(b, 1, 6), coms.astype(f32).reshape(b, 1, 3),
+      hm_t, hm3_t, umx, umy, umz, dm_t)
+
+    return out[..., :3]                                  # (b, j, 3)

@@ -9,8 +9,6 @@ hidden LOSSES_COLLECTION — callers sum what they use.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 

@@ -9,15 +9,14 @@ jitted step function and checkpointed with Orbax.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from densereg_tpu import augment, geometry, targets
+from densereg_tpu import augment, targets
 from densereg_tpu.config import NetConfig, TrainConfig
 from densereg_tpu.models import DenseRegNet, renorm_clip_schedule
 from densereg_tpu.preprocess import norm_dm

@@ -24,7 +24,6 @@ MICRO step (the reference runs its update ops inside the accumulation loop).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import json
 import os
 import time
 from datetime import datetime
-from typing import Optional
 
 
 class TrainLogWriter:

@@ -1,0 +1,72 @@
+"""Fused Pallas decode kernel vs the jnp decode_poses oracle (interpret
+mode on CPU; same kernel compiles for TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from densereg_tpu import decode, geometry, targets
+from densereg_tpu.config import CameraConfig, EvalConfig
+from densereg_tpu.ops.fused_decode import fused_decode
+from densereg_tpu.preprocess import norm_dm
+
+ICVL = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+
+
+def _scene(rng, b=2, j=16, noisy=False):
+    cfg128 = np.asarray(geometry.scale_cfg(ICVL.as_array(), 128, 128))
+    cfgs = np.tile(cfg128, (b, 1)).astype(np.float32)
+    coms = np.tile(np.array([[5.0, -3.0, 400.0]], np.float32), (b, 1))
+    poses = np.zeros((b, j, 3), np.float32)
+    poses[..., 0] = rng.uniform(-35, 35, (b, j))
+    poses[..., 1] = rng.uniform(-35, 35, (b, j))
+    poses[..., 2] = rng.uniform(380, 420, (b, j))
+    poses = poses.reshape(b, -1)
+    dms = rng.uniform(330, 460, (b, 128, 128, 1)).astype(np.float32)
+    normed = norm_dm(jnp.asarray(dms), jnp.asarray(coms))
+    gt = targets.synthesize(jnp.asarray(poses), jnp.asarray(cfgs),
+                            jnp.asarray(coms), normed, 32, 32)
+    hm, hm3, um = gt["hm2"], gt["hm3"], gt["um"]
+    if noisy:
+        k1, k2, k3 = (rng.normal(0, 0.05, x.shape).astype(np.float32)
+                      for x in (hm, hm3, um))
+        hm = hm + k1
+        hm3 = hm3 + k2
+        um = um + k3
+    return hm, hm3, um, gt["tiny_dm"], jnp.asarray(cfgs), jnp.asarray(coms)
+
+
+def _oracle(hm, hm3, um, tiny, cfgs, coms):
+    res = decode.decode_poses(hm, hm3, um, tiny, cfgs, coms,
+                              EvalConfig(use_pallas=False))
+    return np.asarray(res["normed"])
+
+
+def test_fused_matches_oracle_clean(rng):
+    hm, hm3, um, tiny, cfgs, coms = _scene(rng)
+    ref = _oracle(hm, hm3, um, tiny, cfgs, coms)
+    got = np.asarray(fused_decode(hm, hm3, um, tiny, cfgs, coms,
+                                  interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_matches_oracle_noisy(rng):
+    """noisy maps exercise tie-breaks, off-image reprojections and the
+    zero-weight guard"""
+    hm, hm3, um, tiny, cfgs, coms = _scene(rng, noisy=True)
+    ref = _oracle(hm, hm3, um, tiny, cfgs, coms)
+    got = np.asarray(fused_decode(hm, hm3, um, tiny, cfgs, coms,
+                                  interpret=True))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_decode_poses_pallas_path(rng):
+    """EvalConfig(use_pallas=True) routes through the fused kernel."""
+    hm, hm3, um, tiny, cfgs, coms = _scene(rng, b=1)
+    ref = decode.decode_poses(hm, hm3, um, tiny, cfgs, coms,
+                              EvalConfig(use_pallas=False))
+    got = decode.decode_poses(hm, hm3, um, tiny, cfgs, coms,
+                              EvalConfig(use_pallas=True,
+                                         pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(got["xyz"]),
+                               np.asarray(ref["xyz"]), rtol=1e-4, atol=1e-3)
