@@ -109,10 +109,17 @@ def main():
 
     dev = jax.devices()[0]
     on_accel = dev.platform != "cpu"
-    value = _measure(dev, BATCH if on_accel else CPU_BATCH,
-                     "bfloat16" if on_accel else "float32",
-                     iters=30 if on_accel else 2,
-                     use_pallas=on_accel)  # fused decode kernel on TPU
+    try:
+        value = _measure(dev, BATCH if on_accel else CPU_BATCH,
+                         "bfloat16" if on_accel else "float32",
+                         iters=30 if on_accel else 2,
+                         use_pallas=on_accel)  # fused decode kernel on TPU
+    except Exception:
+        if not on_accel:
+            raise
+        # fall back to the jnp decode if the Pallas kernel cannot lower on
+        # this platform/toolchain
+        value = _measure(dev, BATCH, "bfloat16", iters=30, use_pallas=False)
 
     cpu_fps = None
     if os.path.exists(BASELINE_FILE) and not os.environ.get(

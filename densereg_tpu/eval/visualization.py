@@ -143,6 +143,28 @@ def figure_candidate_pairs(dm: np.ndarray, pts1, pts2):
     return fig
 
 
+def colorize_depth(dm, thresh: float = 750.0):
+    """Depth map -> displayable BGR uint8 (``visDepthMap``,
+    /root/reference/data/util.py:135-145)."""
+    import cv2
+
+    dm = np.asarray(dm, np.float32).copy()
+    dm[dm > thresh] = 0
+    dm = dm * (255.0 / thresh)
+    return cv2.cvtColor(dm.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+
+
+def annotate_depth(dm, uvd, thresh: float = 750.0, radius: int = 3):
+    """Depth map + joint circles (``visAnnotatedDepthMap_uvd``,
+    /root/reference/data/util.py:154-158)."""
+    import cv2
+
+    img = colorize_depth(dm, thresh)
+    for pt in np.asarray(uvd).reshape(-1, 3):
+        cv2.circle(img, (int(pt[0]), int(pt[1])), radius, (0, 0, 255), -1)
+    return img
+
+
 class SummaryImageWriter:
     """PNG dump channel replacing the reference's debug_level-gated TB image
     summaries (/root/reference/model/hourglass_um_crop_tiny.py:408-432)."""

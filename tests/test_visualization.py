@@ -45,3 +45,17 @@ def test_batch_skeletons(tmp_path, rng):
     paths = w.save_batch_skeletons("val", dms, uvds, "msra_P0", 7)
     assert len(paths) == 3  # capped at max_n
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_cv2_depth_helpers(rng):
+    from densereg_tpu.eval.visualization import annotate_depth, colorize_depth
+
+    dm = rng.uniform(0, 900, (60, 80)).astype(np.float32)
+    img = colorize_depth(dm, thresh=750)
+    assert img.shape == (60, 80, 3) and img.dtype == np.uint8
+    assert img[dm > 750].max() == 0  # beyond threshold zeroed
+
+    uvd = np.array([[10.0, 20.0, 400.0], [70.0, 50.0, 300.0]])
+    ann = annotate_depth(dm, uvd)
+    # red circles drawn at the joints (BGR)
+    assert ann[20, 10, 2] == 255 and ann[50, 70, 2] == 255
