@@ -38,6 +38,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--net_module", default="um_v1",
                    choices=["um_v1", "um_v1_lite"])
     p.add_argument("--epoch", type=int, default=80)
+    p.add_argument("--epochs_per_decay", type=int, default=None,
+                   help="override the per-dataset LR decay horizon")
     p.add_argument("--is_aug", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -61,7 +63,8 @@ def _specs(args, subset_train="training", subset_test="testing"):
 
 
 def _configs(args, jnt_num):
-    epochs_per_decay = {"nyu": 10, "msra": 20}.get(args.dataset, 10)
+    epochs_per_decay = args.epochs_per_decay or {
+        "nyu": 10, "msra": 20}.get(args.dataset, 10)
     net = NetConfig(num_stack=args.num_stack, num_fea=args.num_fea,
                     kernel_size=args.kernel_size, num_joint=jnt_num,
                     compute_dtype=args.compute_dtype,

@@ -160,11 +160,14 @@ def decode_poses(hms, hm3s, ums, tiny_dms, cfgs, coms,
         # refined scores, top-k, weights, vote init, mean shift)
         from densereg_tpu.ops.fused_decode import fused_decode
 
+        # Mosaic targets TPU; interpret everywhere else so --use_pallas is
+        # safe on any backend
+        interpret = cfg.pallas_interpret or jax.default_backend() != "tpu"
         normed = fused_decode(hms, hm3s, ums, tiny_dms, cfgs, coms,
                               num_pt=cfg.num_candidates,
                               num_it=cfg.mean_shift_iters,
                               band_width=cfg.band_width,
-                              interpret=cfg.pallas_interpret)
+                              interpret=interpret)
         xyz = geometry.unnorm_xyz_pose(normed.reshape(b, -1), coms)
         return {"xyz": xyz, "normed": normed, "candidates": None,
                 "weights": None}
