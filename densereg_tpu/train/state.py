@@ -75,11 +75,17 @@ def weight_decay_loss(params, weight_decay: float) -> jnp.ndarray:
     """L2 penalty over conv kernels only (biases and renorm beta/gamma are
     exempt), matching slim's REGULARIZATION_LOSSES: ``wd * sum(w^2)/2`` per
     kernel (/root/reference/network/slim/losses.py:83-99, applied at
-    /root/reference/network/um_v1.py:35)."""
+    /root/reference/network/um_v1.py:35).  The inter-stack re-injection
+    convs are excluded — the reference creates them without weight decay
+    (/root/reference/network/um_v1.py:176-181)."""
     total = jnp.zeros((), jnp.float32)
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        if path and getattr(path[-1], "key", None) == "kernel":
-            total += jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        if not path or getattr(path[-1], "key", None) != "kernel":
+            continue
+        if any(str(getattr(p, "key", "")).startswith("inter_")
+               for p in path):
+            continue
+        total += jnp.sum(jnp.square(leaf.astype(jnp.float32)))
     return 0.5 * weight_decay * total
 
 

@@ -99,3 +99,15 @@ def test_lr_schedule_staircase():
     np.testing.assert_allclose(float(sched(99)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
     np.testing.assert_allclose(float(sched(250)), 1e-5, rtol=1e-5)
+
+
+def test_weight_decay_excludes_inter_convs():
+    """the reference's inter-stack re-injection convs carry no weight decay
+    (/root/reference/network/um_v1.py:176-181)"""
+    params = {
+        "hm_head_s0": {"conv": {"kernel": jnp.ones((1, 1, 2, 2))}},
+        "inter_out_s0": {"conv": {"kernel": jnp.ones((1, 1, 2, 2)) * 100}},
+        "inter_ll_s0": {"conv": {"kernel": jnp.ones((1, 1, 2, 2)) * 100}},
+    }
+    wd = float(weight_decay_loss(params, 0.0005))
+    np.testing.assert_allclose(wd, 0.5 * 0.0005 * 4.0, rtol=1e-6)
