@@ -6,10 +6,11 @@ nests three levels of ``tf.map_fn`` (batch -> joint -> candidate) around
 top-k / scatter_nd / an unrolled mean-shift; here every step is a batched
 tensor program over ``(b, j, n)`` — top-k via ``lax.top_k``, the voting-grid
 init via a one-hot matmul, the mean-shift via a scanned fixed-point update —
-so the whole decoder jits into a handful of fused TPU kernels.  A fused
-Pallas kernel for the mean-shift stage lives in
-``densereg_tpu.ops.meanshift_pallas`` (same math, checked against this
-reference implementation).
+so the whole decoder jits into a handful of fused TPU kernels.  Two Pallas
+forms exist with this module as their semantics oracle:
+``densereg_tpu.ops.fused_decode`` (the ENTIRE decode as one kernel — the
+TPU serving path, ``EvalConfig(use_pallas=True)``) and
+``densereg_tpu.ops.meanshift_pallas`` (the mean-shift stage alone).
 """
 
 from __future__ import annotations

@@ -59,3 +59,18 @@ def test_compare_results_tool(tmp_path):
     assert rep["frames"] == 2
     np.testing.assert_allclose(rep["mean_joint_error_mm"],
                                np.sqrt(27) / 2, rtol=1e-5)
+
+
+def test_predictor_on_mesh(rng):
+    """batch-parallel serving across the 8-device mesh"""
+    from densereg_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    pred = Predictor(_variables(), NET, ICVL, max_batch=8, mesh=mesh)
+    frames = rng.uniform(300, 500, (8, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (8, 1))
+    xyz = pred(frames, bbxs)
+    assert xyz.shape == (8, 12) and np.isfinite(xyz).all()
+    # same results as the unsharded predictor
+    ref = Predictor(_variables(), NET, ICVL, max_batch=8)(frames, bbxs)
+    np.testing.assert_allclose(xyz, ref, rtol=1e-4, atol=1e-4)
