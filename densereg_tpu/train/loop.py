@@ -109,8 +109,12 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                 log.log_step(step, max_steps, loss, timer.last,
                              timer.last / samples_per_step)
             if step % tcfg.summary_every == 0:
-                metrics_log.log(step, **{k: float(v)
-                                         for k, v in metrics.items()})
+                from densereg_tpu.train.lr import staircase_exponential_decay
+
+                lr = float(staircase_exponential_decay(
+                    tcfg.init_lr, decay_steps, tcfg.lr_decay_factor)(step))
+                metrics_log.log(step, learning_rate=lr,
+                                **{k: float(v) for k, v in metrics.items()})
             if val_spec is not None and step % tcfg.validate_every == 0:
                 _validate(infer_fn, state, val_pipeline, log, step, log_fn,
                           image_writer, spec.name)

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from densereg_tpu.config import NetConfig, TrainConfig
 from densereg_tpu.train.state import TrainState, loss_fn
@@ -69,6 +70,11 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
     updates, opt_state = state.tx.update(avg, state.opt_state, state.params)
     params = jax.tree.map(jnp.add, state.params, updates)
 
+    # observability: the reference logs weight/grad histograms and the LR to
+    # TB (train_single_gpu.py:54,91-95); we log global norms to metrics.jsonl
+    grad_norm = optax.global_norm(avg)
+    param_norm = optax.global_norm(params)
+
     ema = state.ema_params
     if ema is not None and tcfg.ema_decay is not None:
         d = tcfg.ema_decay
@@ -83,6 +89,8 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
         ema_params=ema,
     )
     metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+    metrics["grad_norm"] = grad_norm
+    metrics["param_norm"] = param_norm
     return new_state, metrics
 
 
