@@ -95,13 +95,19 @@ def _l2(a, b):
 
 
 def loss_fn(params, batch_stats, apply_fn, batch, *, net_cfg: NetConfig,
-            tcfg: TrainConfig, renorm_t, dropout_rng, aug_rng=None):
+            tcfg: TrainConfig, renorm_t, dropout_rng, aug_rng=None,
+            axis_name=None):
     """Total training loss on one micro-batch
     (/root/reference/model/hourglass_um_crop_tiny.py:323-434).
 
     ``batch`` is a dict with ``dm (b,H,W,1) raw mm``, ``pose (b,3j)``,
     ``cfg (b,6)``, ``com (b,3)``.
     Returns (loss, (new_batch_stats, metrics)).
+
+    ``axis_name``: inside ``shard_map`` the data terms sum over the LOCAL
+    batch while the weight-decay term is replicated — it is divided by the
+    axis size here so the caller's gradient/metric ``psum`` reconstitutes it
+    exactly once.
     """
     dms, poses = batch["dm"], batch["pose"]
     cfgs, coms = batch["cfg"], batch["com"]
@@ -123,6 +129,8 @@ def loss_fn(params, batch_stats, apply_fn, batch, *, net_cfg: NetConfig,
     hm3_loss = sum(_l2(est, gt["hm3"]) for est in outs["hm3"])
     um_loss = sum(_l2(est, gt["um"]) for est in outs["um"])
     reg_loss = weight_decay_loss(params, tcfg.weight_decay)
+    if axis_name is not None:
+        reg_loss = reg_loss / jax.lax.axis_size(axis_name)
     total = hm_loss + hm3_loss + um_loss + reg_loss
 
     metrics = {

@@ -34,7 +34,7 @@ from densereg_tpu.train.state import TrainState, loss_fn
 
 
 def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
-                      tcfg: TrainConfig):
+                      tcfg: TrainConfig, axis_name=None):
     """One optimizer step.
 
     Args:
@@ -42,6 +42,10 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
       batch: dict of arrays with a leading ``(sub_batch, batch, ...)`` pair of
         axes: ``dm``, ``pose``, ``cfg``, ``com``.
       rng: PRNG key for dropout/augmentation, folded per micro step.
+      axis_name: set when running inside ``shard_map`` — gradients and
+        metrics are ``psum``-ed over this mesh axis (the state's model must
+        have been built with the same ``axis_name`` so batch-norm moments
+        pmean as well).
     Returns:
       (new_state, metrics dict averaged over micro steps).
     """
@@ -55,7 +59,8 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
             state.params, batch_stats, state.apply_fn, mb,
             net_cfg=net_cfg, tcfg=tcfg, renorm_t=renorm_t,
             dropout_rng=drop_key,
-            aug_rng=aug_key if tcfg.augment else None)
+            aug_rng=aug_key if tcfg.augment else None,
+            axis_name=axis_name)
         accum = jax.tree.map(jnp.add, accum, grads)
         renorm_t = renorm_t + net_cfg.renorm_t_delta
         return (batch_stats, renorm_t, accum), metrics
@@ -65,6 +70,12 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
     zeros = jax.tree.map(jnp.zeros_like, state.params)
     (batch_stats, renorm_t, accum), metrics = jax.lax.scan(
         micro, (state.batch_stats, state.renorm_t, zeros), (batch, keys))
+
+    if axis_name is not None:
+        # explicit data parallelism: the loss sums over the LOCAL batch, so
+        # the global gradient is the psum of the local sums
+        accum = jax.lax.psum(accum, axis_name)
+        metrics = jax.tree.map(lambda m: jax.lax.psum(m, axis_name), metrics)
 
     avg = jax.tree.map(lambda g: g / sub, accum)
     updates, opt_state = state.tx.update(avg, state.opt_state, state.params)
@@ -95,13 +106,35 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
 
 
 def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
-                    donate: bool = True):
+                    donate: bool = True, explicit: bool = False):
     """Build the jitted train step; with ``mesh`` the batch is expected to be
     sharded ``P(None, "data")`` and the returned function carries the output
-    shardings so parameters/optimizer state stay replicated."""
+    shardings so parameters/optimizer state stay replicated.
+
+    ``explicit=True`` uses the ``shard_map`` formulation with hand-placed
+    collectives (``lax.psum`` gradients, ``lax.pmean`` batch-norm moments via
+    the model's ``axis_name``) instead of GSPMD sharding annotations; the
+    TrainState must then come from ``create_train_state(...,
+    axis_name=tcfg.data_axis)``.  Both formulations are semantically
+    identical (tests/test_parallel.py pins it); GSPMD is the default because
+    XLA schedules the collectives itself.
+    """
     step = functools.partial(train_step_single, net_cfg=net_cfg, tcfg=tcfg)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    if explicit:
+        from jax.sharding import PartitionSpec as P
+
+        inner = functools.partial(train_step_single, net_cfg=net_cfg,
+                                  tcfg=tcfg, axis_name=tcfg.data_axis)
+        smapped = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(None, tcfg.data_axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(smapped, donate_argnums=(0,) if donate else ())
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

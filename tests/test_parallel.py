@@ -72,3 +72,48 @@ def test_batch_sharding_layout(rng):
     sharded = shard_batch(batch, mesh, batch_dim=1)
     shard_shapes = {s.data.shape for s in sharded["dm"].addressable_shards}
     assert shard_shapes == {(2, 1, 32, 32, 1)}
+
+
+def test_shard_map_explicit_matches_single_device(rng):
+    """The explicit shard_map formulation (lax.psum gradients + pmean BN
+    moments via axis_name) must agree with the single-device step — the same
+    contract as the GSPMD test above.  Dropout is disabled: shard_map draws
+    each device's mask from the same key over local shapes, which is
+    statistically equivalent but not bit-identical to the global draw."""
+    import dataclasses
+
+    import optax
+
+    net = dataclasses.replace(NET, dropout_rate=0.0)
+    tcfg = TrainConfig(batch_size=8, sub_batch=2, augment=False)
+    state = create_train_state(jax.random.key(0), net, tcfg, 100.0)
+    tx = optax.sgd(1.0)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    batch = make_batch(rng, tcfg.sub_batch, tcfg.batch_size)
+
+    single = make_train_step(net, tcfg, donate=False)
+    s1, m1 = single(state, batch, jax.random.key(7))
+
+    mesh = make_mesh()
+    # the explicit path needs the model built with the mesh axis name so
+    # batch-norm moments pmean inside shard_map
+    state_x = create_train_state(jax.random.key(0), net, tcfg, 100.0,
+                                 axis_name=tcfg.data_axis)
+    state_x = state_x.replace(tx=tx, opt_state=tx.init(state_x.params))
+    explicit = make_train_step(net, tcfg, mesh=mesh, donate=False,
+                               explicit=True)
+    dbatch = shard_batch(batch, mesh, batch_dim=1)
+    s8, m8 = explicit(state_x, dbatch, jax.random.key(7))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s8.params)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        assert rel < 5e-2, (jax.tree_util.keystr(path), rel)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
