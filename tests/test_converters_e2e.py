@@ -169,3 +169,49 @@ def test_msra_convert_and_stream(tmp_path, rng):
     batches = list(TestPipeline(spec, batch_size=4, input_hw=(32, 32)))
     assert batches[0]["dm"].shape == (4, 32, 32, 1)
     assert batches[0]["pose"].shape == (4, 63)
+
+
+def _make_nyu_train_source(root, rng, n_per_cam=4):
+    import scipy.io as sio
+
+    src = os.path.join(root, "dataset", "train")
+    os.makedirs(src, exist_ok=True)
+    joints = rng.uniform(-100, 100, (3, n_per_cam, 36, 3)).astype(np.float64)
+    joints[..., 2] = rng.uniform(700, 900, (3, n_per_cam, 36))
+    sio.savemat(os.path.join(src, "joint_data.mat"), {"joint_xyz": joints})
+    for c in range(3):
+        for i in range(n_per_cam):
+            depth = _scene(rng, 480, 640, 800)
+            rgb = np.zeros((480, 640, 3), np.uint8)
+            rgb[..., 1] = depth >> 8
+            rgb[..., 2] = depth & 0xFF
+            Image.fromarray(rgb).save(
+                os.path.join(src, f"depth_{c + 1}_{i + 1:07d}.png"))
+    return joints
+
+
+@pytest.mark.slow
+def test_nyu_train_convert_and_stream(tmp_path, rng):
+    """training path: 3 cameras, no bbx, crop from GT pose, 14-joint gather"""
+    root = str(tmp_path / "nyu")
+    _make_nyu_train_source(root, rng)
+    nyu_mod.convert(root, "training", num_threads=2)
+
+    spec = nyu_mod.make_spec("training", directory=root)
+    readers = {r.path: r for r in spec.readers()}
+    total = sum(len(r) for r in readers.values())
+    # the training spec reads the first 100 of 300 shards (the reference's
+    # convention, data/nyu.py:63) -> the first third of the 12 samples
+    assert total == 4
+    nonempty = next(r for r in readers.values() if len(r))
+    assert not nonempty.has_bbx
+    assert not spec.uses_bbx  # bbx crop is test-only
+
+    pipe = InputPipeline(spec, batch_size=2, sub_batch=1, input_hw=(32, 32))
+    try:
+        batch = next(iter(pipe))
+        assert batch["pose"].shape == (1, 2, 42)  # 14-joint gather applied
+        assert batch["dm"].shape == (1, 2, 32, 32, 1)
+        assert np.isfinite(np.asarray(batch["com"])).all()
+    finally:
+        pipe.close()
