@@ -118,7 +118,10 @@ def um_xy_angle(ums):
     x, y, z = u[..., 0], u[..., 1], u[..., 2]
     d = jnp.sqrt(x * x + y * y)
     small = (d * d + z * z) < 0.1
-    return jnp.where(small, 1.0, jnp.sin(x / jnp.where(small, 1.0, d)))
+    # the reference divides by d unguarded and NaNs on pure-z vectors
+    # (hourglass_um_crop_tiny.py:309); we clamp the denominator
+    safe_d = jnp.maximum(d, 1e-6)
+    return jnp.where(small, 1.0, jnp.sin(x / safe_d))
 
 
 def um_z_component(ums):

@@ -52,3 +52,25 @@ def test_folded_param_tree_matches_model(rng):
     exp_paths = jax.tree_util.tree_structure(expect["params"])
     assert got_paths == exp_paths
     assert "batch_stats" not in expect or not expect["batch_stats"]
+
+
+def test_fold_lite_variant(rng):
+    """depthwise kernels fold identically (per-out-channel scale broadcasts
+    over the (k,k,1,c) layout)"""
+    lite = dataclasses.replace(CFG, net_module="um_v1_lite")
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    net = DenseRegNet(lite)
+    variables = net.init({"params": jax.random.key(0)}, x, train=False)
+    _, mutated = net.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(9)})
+    variables = {"params": variables["params"],
+                 "batch_stats": mutated["batch_stats"]}
+    ref = net.apply(variables, x, train=False)
+
+    folded_cfg = dataclasses.replace(lite, fold_bn=True)
+    folded = DenseRegNet(folded_cfg).apply(
+        fold_batch_norm(variables, eps=lite.bn_epsilon), x, train=False)
+    for key in ("hm", "hm3", "um"):
+        np.testing.assert_allclose(np.asarray(folded[key][-1]),
+                                   np.asarray(ref[key][-1]),
+                                   rtol=1e-4, atol=1e-5)

@@ -94,3 +94,30 @@ def test_synthesize_shapes_and_zero_offset_at_joint(rng):
         if 0 <= u < 32 and 0 <= v < 32:
             o = om[0, int(round(v)), int(round(u)), jidx]
             assert abs(o[0]) < 0.15 and abs(o[1]) < 0.15
+
+
+def test_gaussian_heatmaps_peak_and_range(rng):
+    uvd = np.array([[5.0, 7.0, 400.0], [20.0, 3.0, 380.0]], np.float32)
+    hm = np.asarray(targets.gaussian_heatmaps(
+        jnp.asarray(uvd.reshape(-1)), 32, 32, sigma=3.0))
+    assert hm.shape == (32, 32, 2)
+    # peak of 1 at the (rounded) projection
+    assert hm[7, 5, 0] > 0.98 and hm[3, 20, 1] > 0.98
+    assert hm.max() <= 1.0 + 1e-6 and hm.min() >= 0.0
+    # monotone decay away from the center
+    assert hm[7, 5, 0] > hm[7, 9, 0] > hm[7, 14, 0]
+
+
+def test_um_angle_maps(rng):
+    b, h, w, j = 1, 4, 4, 2
+    um = np.zeros((b, h, w, 3 * j), np.float32)
+    um[..., 0] = 1.0   # joint0: pure +x unit vector
+    um[..., 5] = -0.7  # joint1: pure z (the reference NaNs on this case)
+    xy = np.asarray(targets.um_xy_angle(jnp.asarray(um)))
+    zc = np.asarray(targets.um_z_component(jnp.asarray(um)))
+    assert xy.shape == (b, h, w, j) and zc.shape == (b, h, w, j)
+    np.testing.assert_allclose(xy[..., 0], np.sin(1.0), rtol=1e-5)
+    np.testing.assert_allclose(zc[..., 1], -0.7, rtol=1e-6)
+    # pure-z vector: guarded divide gives sin(0) = 0, not NaN
+    np.testing.assert_allclose(xy[..., 1], 0.0, atol=1e-6)
+    assert np.isfinite(xy).all()
