@@ -102,3 +102,20 @@ def test_cli_parser_surface():
     assert a.pid == 3 and a.selected_step == -1
     a = p.parse_args(["convert", "--dataset", "nyu", "--subset", "testing"])
     assert a.fn.__name__ == "cmd_convert"
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver contract: dryrun_multichip must self-provision a virtual
+    CPU mesh and run one full data-parallel training step (VERDICT r1 #1)."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_test", root / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # Under the test conftest 8 virtual CPU devices already exist, so this
+    # exercises the in-process path end-to-end (subprocess fallback is only
+    # reachable when the interpreter's jax is pinned to a 1-device platform).
+    mod.dryrun_multichip(8)
