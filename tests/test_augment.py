@@ -89,3 +89,23 @@ def test_depth_coordinate_unchanged(rng):
     new_d = np.asarray(geometry.xyz2uvd(new_pose,
                                         jnp.asarray(cfg))).reshape(-1, 3)[:, 2]
     np.testing.assert_allclose(new_d, old_d, rtol=1e-5)
+
+
+def test_mxu_warp_matches_gather_warp_exactly(rng):
+    """The MXU one-hot warp is a re-expression of the same nearest-neighbour
+    map, so it must agree with the 2-D gather form bitwise (VERDICT r1 #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu.augment import (_affine_params, _warp_image,
+                                      _warp_image_gather)
+
+    for seed in range(5):
+        key = jax.random.key(seed)
+        dm = jnp.asarray(
+            rng.uniform(300, 500, (48, 48, 1)).astype("float32"))
+        angle, ratio = _affine_params(key)
+        center = jnp.asarray([23.0, 25.0], jnp.float32)
+        a = _warp_image_gather(dm, angle, ratio, center)
+        b = _warp_image(dm, angle, ratio, center)
+        assert jnp.array_equal(a, b), f"seed {seed}: max |d|={jnp.max(jnp.abs(a - b))}"
