@@ -93,11 +93,8 @@ class Predictor:
     def from_converted(cls, msgpack_path: str, net_cfg: NetConfig,
                        camera: CameraConfig, **kwargs) -> "Predictor":
         """Load a migrated reference checkpoint
-        (tools/convert_tf_checkpoint.py)."""
-        import sys, os
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))))
-        from tools.convert_tf_checkpoint import load_converted
+        (densereg_tpu.convert)."""
+        from densereg_tpu.convert import load_converted
 
         payload = load_converted(msgpack_path)
         variables = {"params": payload["params"],

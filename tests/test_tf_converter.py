@@ -3,16 +3,12 @@ the real model's parameter tree (every conv covered, has_renorm flags right).
 Actual TF-name fidelity can only be validated against a real reference
 checkpoint (license-gated download); this pins our side of the mapping."""
 
-import sys
-
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
-
 from densereg_tpu.config import NetConfig
+from densereg_tpu.convert import model_conv_order
 from densereg_tpu.models import DenseRegNet
-from tools.convert_tf_checkpoint import model_conv_order
 
 
 def _paths(tree, prefix=()):
