@@ -54,11 +54,19 @@ def _build(batch, compute_dtype, use_pallas=False):
     variables = net.init({"params": jax.random.key(0)},
                          jnp.zeros((1, 128, 128, 1)), train=False)
     if os.environ.get("BENCH_QUANT", "0") == "1":
-        # int8 serving path (folded + per-channel weight quantization)
-        from densereg_tpu.models.quantize import quantize_weights
+        # int8 serving path: folded BN + per-channel weight quantization +
+        # static activation scales from a calibration pass
+        from densereg_tpu.models.quantize import calibrate, quantize_weights
+        from densereg_tpu.preprocess import norm_dm
         variables = quantize_weights(
             fold_batch_norm(variables, eps=net_cfg.bn_epsilon))
         net_cfg = dataclasses.replace(net_cfg, fold_bn=True, quantize=True)
+        coms_cal = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32),
+                            (batch, 1))
+        variables = jax.jit(
+            lambda v, d: calibrate(DenseRegNet(net_cfg), v,
+                                   [norm_dm(d, coms_cal)])
+        )(variables, dms)
     elif os.environ.get("BENCH_FOLD", "1") == "1":
         # serving default: batch norm folded into the conv weights
         variables = fold_batch_norm(variables, eps=net_cfg.bn_epsilon)

@@ -148,8 +148,15 @@ class ConvBR(nn.Module):
         return x
 
     def _quantized_call(self, x):
-        """int8 x int8 -> int32 conv on the MXU with dynamic per-tensor
-        activation scaling; dequantize + bias + activation in float."""
+        """int8 x int8 -> int32 conv on the MXU; dequantize + bias +
+        activation in float.
+
+        Activation scale: static per-conv when the ``act_stats`` collection is
+        present (baked by :func:`densereg_tpu.models.quantize.calibrate` —
+        the serving fast path: the requantize is then a pure elementwise pass
+        XLA fuses into the surrounding ops), else dynamic per-tensor symmetric
+        max (a full-tensor reduction before every conv — correct but slow;
+        round-1 measurement: 6.3k fps vs 9.1k bf16)."""
         in_ch = x.shape[-1] // 1
         k_h, k_w = self.kernel
         kernel_q = self.param(
@@ -163,7 +170,18 @@ class ConvBR(nn.Module):
                           jnp.float32)
 
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        calibrating = self.is_mutable_collection("act_stats")
+        if calibrating or self.has_variable("act_stats", "amax"):
+            amax = self.variable("act_stats", "amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if calibrating:
+                cur = jnp.max(jnp.abs(xf))
+                amax.value = jnp.maximum(amax.value, cur)
+                s_x = jnp.maximum(cur, 1e-8) / 127.0
+            else:
+                s_x = jnp.maximum(amax.value, 1e-8) / 127.0
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
         x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x_q, kernel_q,

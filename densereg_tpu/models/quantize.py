@@ -6,8 +6,11 @@ serving graph (see :mod:`densereg_tpu.models.fold`) into the int8 form the
 
   * weights: symmetric per-output-channel int8
     (``kernel_q = round(k / s_w)``, ``s_w = max|k| / 127`` over (h, w, in));
-  * activations: quantized dynamically at each conv input (per-tensor
-    symmetric max — no calibration dataset needed);
+  * activations: per-tensor symmetric scales, STATIC from a calibration
+    pass (:func:`calibrate` records each conv input's running absmax into
+    the ``act_stats`` collection) — the serving path then has zero
+    activation reductions, only a fused elementwise requantize; without
+    calibration the layer falls back to dynamic per-batch scaling;
   * accumulation in int32 on the MXU, dequantize+bias+relu in float.
 
 Accuracy contract: decoded poses move by <~1 mm vs the float graph on the
@@ -47,3 +50,23 @@ def quantize_weights(folded_variables):
 
 def quantized_net_config(cfg: NetConfig) -> NetConfig:
     return dataclasses.replace(cfg, fold_bn=True, quantize=True)
+
+
+def calibrate(net, variables, batches):
+    """Record per-conv activation absmax over calibration batches.
+
+    Args:
+      net: a quantized ``DenseRegNet`` (``quantize=True`` config).
+      variables: output of :func:`quantize_weights`.
+      batches: iterable of normalized depth maps (the net's input), e.g. a
+        few hundred representative frames.
+    Returns:
+      ``variables`` with the ``act_stats`` collection baked in; serving
+      applies then use static activation scales (no per-conv reductions).
+    """
+    variables = dict(variables)
+    for dms in batches:
+        _, upd = net.apply(variables, dms, train=False,
+                           mutable=["act_stats"])
+        variables["act_stats"] = upd["act_stats"]
+    return variables

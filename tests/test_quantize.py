@@ -83,3 +83,43 @@ def test_quantized_decode_pose_stability(rng):
     xf, xq = np.asarray(dec(out_f)), np.asarray(dec(out_q))
     delta = np.linalg.norm((xf - xq).reshape(-1, 3), axis=-1)
     assert delta.max() < 10.0, delta.max()  # untrained net: loose bound
+
+
+def test_calibration_bakes_static_scales(rng):
+    """calibrate() records per-conv input absmax; on the calibration batch
+    itself the static path reproduces the dynamic path exactly (identical
+    scales), and on unseen data it stays close."""
+    from densereg_tpu.models.quantize import calibrate
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    _, quant = _float_and_quant(jax.random.key(0), x)
+    qnet = DenseRegNet(quantized_net_config(CFG))
+
+    dynamic = qnet.apply(quant, x, train=False)
+    calibrated = calibrate(qnet, quant, [x])
+    assert "act_stats" in calibrated
+    stats = jax.tree_util.tree_leaves(calibrated["act_stats"])
+    assert stats and all(s.shape == () for s in stats)
+    assert any(float(s) > 0 for s in stats)
+
+    static = qnet.apply(calibrated, x, train=False)
+    for key in ("hm", "hm3", "um"):
+        np.testing.assert_allclose(np.asarray(dynamic[key][-1]),
+                                   np.asarray(static[key][-1]),
+                                   rtol=0, atol=1e-5)
+
+    # unseen slightly-shifted data through the static path: bounded drift
+    x2 = jnp.clip(x * 0.9 + 0.02, -1, 1)
+    ref2 = qnet.apply(quant, x2, train=False)
+    got2 = qnet.apply(calibrated, x2, train=False)
+    for key in ("hm", "hm3", "um"):
+        a, b = np.asarray(ref2[key][-1]), np.asarray(got2[key][-1])
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 0.1
+
+    # running max accumulates across batches
+    big = calibrate(qnet, calibrated, [2.0 * x])
+    s0 = jax.tree_util.tree_leaves(calibrated["act_stats"])
+    s1 = jax.tree_util.tree_leaves(big["act_stats"])
+    assert all(float(b) >= float(a) for a, b in zip(s0, s1))
+    assert any(float(b) > float(a) for a, b in zip(s0, s1))
