@@ -130,6 +130,11 @@ class TrainConfig:
     summary_every: int = 20
     validate_every: int = 40
     checkpoint_every: int = 100
+    # weight/grad histogram summaries to the TensorBoard event file
+    # (train_single_gpu.py:91-95 writes them every summary step; here the
+    # cadence is separate because it fetches the full parameter and gradient
+    # trees to the host — 0 disables)
+    histogram_every: int = 100
     base_dir: str = "./exp/train_cache/"
     # data parallel axis name for shard_map
     data_axis: str = "data"

@@ -38,7 +38,7 @@ def make_infer_fn(net_cfg: NetConfig, ecfg: EvalConfig = EvalConfig(),
     def infer(variables, dms, cfgs, coms):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P("data"))
+            sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
             dms = jax.lax.with_sharding_constraint(dms, sh)
         normed = norm_dm(dms, coms)
         outs = net.apply(variables, normed, train=False)
@@ -71,26 +71,42 @@ def evaluate_stream(infer_fn, variables, batches: Iterable[dict],
     max_errors = []
     n_done = 0
     t0 = time.time()
+
+    def consume(xyz_dev, batch, step):
+        """Materialize one dispatched batch and write/score it."""
+        nonlocal n_done
+        xyz = np.asarray(xyz_dev)   # blocks; next batch already dispatched
+        names = batch.get("name")
+        take = min(len(xyz), exact_num - n_done)
+        xyz = xyz[:take]
+        if "pose" in batch and batch["pose"] is not None:
+            gt = np.asarray(batch["pose"])[:take]
+            max_errors.extend(np.asarray(max_joint_error(xyz, gt)).tolist())
+        if writer is not None and names is not None:
+            writer.write_batch(names[:take], xyz)
+        n_done += take
+        if log_every and step % log_every == 0:
+            dt = time.time() - t0
+            log_fn(f"[eval] {n_done}/{exact_num} frames, "
+                   f"{n_done / max(dt, 1e-9):.1f} fps")
+
+    # Double-buffered host loop: dispatch batch k+1 (async under jit) BEFORE
+    # blocking on batch k's result, so host preprocessing + transfer overlap
+    # device compute.  The reference's session loop is fully synchronous
+    # (/root/reference/model/test_model.py:60-66).
+    pending = None
     try:
         for step, batch in enumerate(batches):
-            xyz = np.asarray(infer_fn(variables, batch["dm"], batch["cfg"],
-                                      batch["com"]))
-            names = batch.get("name")
-            take = min(len(xyz), exact_num - n_done)
-            xyz = xyz[:take]
-            if "pose" in batch and batch["pose"] is not None:
-                gt = np.asarray(batch["pose"])[:take]
-                max_errors.extend(
-                    np.asarray(max_joint_error(xyz, gt)).tolist())
-            if writer is not None and names is not None:
-                writer.write_batch(names[:take], xyz)
-            n_done += take
-            if log_every and step % log_every == 0:
-                dt = time.time() - t0
-                log_fn(f"[eval] {n_done}/{exact_num} frames, "
-                       f"{n_done / max(dt, 1e-9):.1f} fps")
-            if n_done >= exact_num:
-                break
+            xyz_dev = infer_fn(variables, batch["dm"], batch["cfg"],
+                               batch["com"])
+            if pending is not None:
+                consume(*pending)
+                if n_done >= exact_num:
+                    pending = None
+                    break
+            pending = (xyz_dev, batch, step)
+        if pending is not None and n_done < exact_num:
+            consume(*pending)
     finally:
         if writer is not None:
             writer.close()

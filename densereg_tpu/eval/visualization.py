@@ -86,8 +86,14 @@ def _dataset_key(name: str) -> str:
 
 
 def _fig_to_array(fig) -> np.ndarray:
-    fig.canvas.draw()
-    buf = np.asarray(fig.canvas.buffer_rgba())
+    canvas = getattr(fig, "canvas", None)
+    if canvas is None or not hasattr(canvas, "buffer_rgba"):
+        # figures built directly (matplotlib.figure.Figure) carry only a
+        # base canvas; attach a rasterizing one
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        canvas = FigureCanvasAgg(fig)
+    canvas.draw()
+    buf = np.asarray(canvas.buffer_rgba())
     return buf[..., :3].copy()
 
 
@@ -166,12 +172,17 @@ def annotate_depth(dm, uvd, thresh: float = 750.0, radius: int = 3):
 
 
 class SummaryImageWriter:
-    """PNG dump channel replacing the reference's debug_level-gated TB image
-    summaries (/root/reference/model/hourglass_um_crop_tiny.py:408-432)."""
+    """Image channel for the reference's debug_level-gated TB image
+    summaries (/root/reference/model/hourglass_um_crop_tiny.py:408-432):
+    PNG files under ``summary/`` plus, when ``event_writer`` is given, the
+    same figures as TensorBoard image summaries
+    (:class:`densereg_tpu.utils.tb.EventWriter`)."""
 
-    def __init__(self, summary_dir: str, debug_level: int = 1):
+    def __init__(self, summary_dir: str, debug_level: int = 1,
+                 event_writer=None):
         self.dir = summary_dir
         self.debug_level = debug_level
+        self.events = event_writer
         os.makedirs(summary_dir, exist_ok=True)
 
     def save(self, tag: str, fig, step: int, level: int = 1) -> Optional[str]:
@@ -179,6 +190,8 @@ class SummaryImageWriter:
             return None
         path = os.path.join(self.dir, f"{tag.replace('/', '_')}_{step}.png")
         fig.savefig(path)
+        if self.events is not None:
+            self.events.add_image(tag, _fig_to_array(fig), step)
         return path
 
     def save_batch_skeletons(self, tag: str, dms, uvds, dataset: str,

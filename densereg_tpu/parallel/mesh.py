@@ -34,9 +34,16 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(devices.reshape(shape), axis_names)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data",
-                   batch_dim: int = 0) -> NamedSharding:
-    """Sharding for a batch array whose ``batch_dim`` is split over ``axis``."""
+def batch_sharding(mesh: Mesh, axis=None, batch_dim: int = 0) -> NamedSharding:
+    """Sharding for a batch array whose ``batch_dim`` is split over ``axis``.
+
+    ``axis`` may be one mesh axis name, a tuple of names, or None = ALL mesh
+    axes: this workload is pure data parallelism, so on a multi-slice mesh
+    ``(replica, data)`` the batch splits over both — gradient all-reduce
+    segments ride ICI within a slice and DCN across slices (docs/SCALING.md).
+    """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     spec = [None] * (batch_dim + 1)
     spec[batch_dim] = axis
     return NamedSharding(mesh, P(*spec))
@@ -46,7 +53,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data", batch_dim: int = 0):
+def shard_batch(batch, mesh: Mesh, axis=None, batch_dim: int = 0):
     """Device-put a (possibly nested) host batch with the batch axis sharded.
 
     Replaces the reference's queue-runner host->device feed

@@ -59,7 +59,7 @@ class Predictor:
             coms = jax.vmap(center_of_mass)(dms, cfgs)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(mesh, P("data"))
+                sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
                 dms = jax.lax.with_sharding_constraint(dms, sh)
             normed = norm_dm(dms, coms)
             outs = net.apply(variables, normed, train=False)
@@ -101,23 +101,36 @@ class Predictor:
                      "batch_stats": payload["batch_stats"]}
         return cls(variables, net_cfg, camera, **kwargs)
 
-    def __call__(self, frames_mm: np.ndarray, bbxs: np.ndarray) -> np.ndarray:
-        """frames_mm: (b, H, W) or (b, H, W, 1) raw depth, mm;
-        bbxs: (b, 5) = (top, left, bottom, right, depth_threshold).
-        Returns (b, 3j) xyz mm."""
-        frames = np.asarray(frames_mm, np.float32)
-        if frames.ndim == 3:
-            frames = frames[..., None]
+    def _dispatch(self, frames: np.ndarray, bbxs: np.ndarray):
+        """Pad one chunk to max_batch and enqueue the jitted program
+        (asynchronous — returns the device result without blocking)."""
         b = frames.shape[0]
-        if b > self.max_batch:
-            return np.concatenate([
-                self(frames[i:i + self.max_batch], bbxs[i:i + self.max_batch])
-                for i in range(0, b, self.max_batch)])
         pad = self.max_batch - b
         if pad:
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
             bbxs = np.concatenate([bbxs, np.repeat(bbxs[-1:], pad, 0)])
-        xyz = np.asarray(self._predict(self.variables, jnp.asarray(frames),
-                                       jnp.asarray(np.asarray(bbxs,
-                                                              np.float32))))
-        return xyz[:b]
+        return self._predict(self.variables, jnp.asarray(frames),
+                             jnp.asarray(np.asarray(bbxs, np.float32)))
+
+    def __call__(self, frames_mm: np.ndarray, bbxs: np.ndarray) -> np.ndarray:
+        """frames_mm: (b, H, W) or (b, H, W, 1) raw depth, mm;
+        bbxs: (b, 5) = (top, left, bottom, right, depth_threshold).
+        Returns (b, 3j) xyz mm.
+
+        Requests larger than ``max_batch`` are processed as a double-buffered
+        chunk pipeline: chunk k+1 is padded + enqueued before chunk k's
+        result is fetched, overlapping host work and transfers with device
+        compute."""
+        frames = np.asarray(frames_mm, np.float32)
+        if frames.ndim == 3:
+            frames = frames[..., None]
+        b = frames.shape[0]
+        out, pending = [], None
+        for i in range(0, b, self.max_batch):
+            chunk = frames[i:i + self.max_batch]
+            dev = self._dispatch(chunk, bbxs[i:i + self.max_batch])
+            if pending is not None:
+                out.append(np.asarray(pending[0])[:pending[1]])
+            pending = (dev, len(chunk))
+        out.append(np.asarray(pending[0])[:pending[1]])
+        return out[0] if len(out) == 1 else np.concatenate(out)

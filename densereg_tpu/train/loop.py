@@ -26,6 +26,7 @@ from densereg_tpu.train.state import create_train_state
 from densereg_tpu.train.step import make_train_step
 from densereg_tpu.utils.logging import MetricLogger, TrainLogWriter
 from densereg_tpu.utils.profiling import StepTimer
+from densereg_tpu.utils.tb import EventWriter
 
 
 def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
@@ -62,21 +63,32 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         state = ckpt.restore(state, restore_step)
         log_fn(f"[train] restored step {int(state.step)} from {train_dir}")
 
-    step_fn = make_train_step(net_cfg, tcfg, mesh=mesh)
+    summary_dir = os.path.join(train_dir, "summary")
+    events = EventWriter(summary_dir)
+    with_grads = tcfg.histogram_every > 0
+    step_fn = make_train_step(net_cfg, tcfg, mesh=mesh, with_grads=with_grads)
     pipeline = InputPipeline(spec, tcfg.batch_size, tcfg.sub_batch,
                              net_cfg.input_hw, seed=tcfg.seed, mesh=mesh)
 
-    val_iterable = None
     infer_fn = None
     image_writer = None
+    val_iter = None
     if val_spec is not None:
         from densereg_tpu.eval.visualization import SummaryImageWriter
 
         infer_fn = make_infer_fn(net_cfg, EvalConfig(batch_size=3))
         val_pipeline = TestPipeline(val_spec, batch_size=3,
                                     input_hw=net_cfg.input_hw)
-        image_writer = SummaryImageWriter(
-            os.path.join(train_dir, "summary"), debug_level=debug_level)
+        # persistent iterator: validation ROTATES through the set (the
+        # reference's sequential val queue advances each do_test,
+        # /root/reference/model/train_single_gpu.py:165-166) instead of
+        # re-reading the first batch forever
+        val_iter = rotating_batches(val_pipeline)
+        image_writer = SummaryImageWriter(summary_dir,
+                                          debug_level=debug_level,
+                                          event_writer=events)
+
+    debug_fn = (_make_debug_fn(net_cfg) if debug_level >= 2 else None)
 
     decay_steps = int(steps_per_epoch * tcfg.epochs_per_decay)
     log_fn(f"[train] lr decays per {decay_steps} steps x{tcfg.lr_decay_factor}"
@@ -99,6 +111,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             rng, step_rng = jax.random.split(rng)
             with timer:
                 state, metrics = step_fn(state, batch, step_rng)
+                grads = metrics.pop("grads", None)
                 loss = float(metrics["loss"])
 
             if not np.isfinite(loss):
@@ -113,11 +126,16 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
 
                 lr = float(staircase_exponential_decay(
                     tcfg.init_lr, decay_steps, tcfg.lr_decay_factor)(step))
-                metrics_log.log(step, learning_rate=lr,
-                                **{k: float(v) for k, v in metrics.items()})
+                scalars = {k: float(v) for k, v in metrics.items()}
+                metrics_log.log(step, learning_rate=lr, **scalars)
+                events.add_scalars(dict(scalars, learning_rate=lr), step)
+                if debug_fn is not None:
+                    _train_debug_images(debug_fn, state, batch, events, step)
+            if with_grads and step % tcfg.histogram_every == 0:
+                _write_histograms(events, state.params, grads, step)
             if val_spec is not None and step % tcfg.validate_every == 0:
-                _validate(infer_fn, state, val_pipeline, log, step, log_fn,
-                          image_writer, spec.name)
+                _validate(infer_fn, state, next(val_iter), log, step,
+                          log_fn, image_writer, spec.name, events)
             if step % tcfg.checkpoint_every == 0 or step + 1 == max_steps:
                 ckpt.save(state)
         return state
@@ -138,19 +156,96 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         pipeline.close()
         log.close()
         metrics_log.close()
+        events.close()
         ckpt.close()
 
 
-def _validate(infer_fn, state, val_pipeline, log, step, log_fn,
-              image_writer=None, dataset_name="icvl"):
+def rotating_batches(pipeline):
+    """Endless batch stream cycling through a (restartable) pipeline."""
+    while True:
+        for batch in pipeline:
+            yield batch
+
+
+def _tree_tags(tree):
+    """(tag, leaf) pairs with slash-joined key paths for summary names."""
+    out = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        tag = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        out.append((tag, leaf))
+    return out
+
+
+def _write_histograms(events, params, grads, step):
+    """Per-variable weight/grad histogram summaries
+    (/root/reference/model/train_single_gpu.py:91-95)."""
+    for tag, leaf in _tree_tags(params):
+        events.add_histogram("params/" + tag, np.asarray(leaf), step)
+    if grads is not None:
+        for tag, leaf in _tree_tags(grads):
+            events.add_histogram("grads/" + tag, np.asarray(leaf), step)
+    events.flush()
+
+
+def _make_debug_fn(net_cfg: NetConfig):
+    """Jitted training-graph debug render inputs: normalized dm, GT targets
+    and eval-mode head outputs for a few samples of the current batch (the
+    reference's debug_level-gated train-graph image summaries,
+    /root/reference/model/hourglass_um_crop_tiny.py:408-432)."""
+    from densereg_tpu import targets
+    from densereg_tpu.models import DenseRegNet
+    from densereg_tpu.preprocess import norm_dm
+
+    net = DenseRegNet(net_cfg)
+    out_h, out_w = net_cfg.output_hw
+
+    def debug(params, batch_stats, dms, poses, cfgs, coms):
+        normed = norm_dm(dms, coms)
+        gt = targets.synthesize(poses, cfgs, coms, normed, out_h, out_w)
+        outs = net.apply({"params": params, "batch_stats": batch_stats},
+                         normed, train=False)
+        est = {"hm": outs["hm"][-1], "hm3": outs["hm3"][-1],
+               "um": outs["um"][-1]}
+        return normed, gt, est
+
+    return jax.jit(debug)
+
+
+def _train_debug_images(debug_fn, state, batch, events, step, n: int = 1):
+    """Render input dm + GT/est heatmaps + um xy-angle maps of the current
+    training micro-batch into the event file (debug_level >= 2)."""
+    from densereg_tpu.targets import um_xy_angle
+
+    take = lambda a: a[0][:n]  # first micro batch, first n samples
+    normed, gt, est = debug_fn(state.params, state.batch_stats,
+                               take(batch["dm"]), take(batch["pose"]),
+                               take(batch["cfg"]), take(batch["com"]))
+    gt_ang = um_xy_angle(gt["um"])
+    est_ang = um_xy_angle(est["um"])
+    for i in range(int(normed.shape[0])):
+        pre = f"train/{i}/"
+        events.add_image(pre + "dm",
+                         (np.asarray(normed[i, ..., 0]) + 1.0) / 2.0, step)
+        for tag, maps in (("hm_gt", gt["hm2"]), ("hm_est", est["hm"]),
+                          ("hm3_gt", gt["hm3"]), ("hm3_est", est["hm3"])):
+            events.add_image(pre + tag, np.asarray(maps[i]).max(axis=-1),
+                             step)
+        for tag, maps in (("um_xy_gt", gt_ang), ("um_xy_est", est_ang)):
+            events.add_image(pre + tag,
+                             (np.asarray(maps[i, ..., 0]) + 1.0) / 2.0, step)
+    events.flush()
+
+
+def _validate(infer_fn, state, batch, log, step, log_fn,
+              image_writer=None, dataset_name="icvl", events=None):
     """One validation batch: per-joint error matrix to the validation log
     (/root/reference/model/hourglass_um_crop_tiny.py:816-840) plus skeleton
-    overlay images through the visual-QA channel (debug_level-gated PNGs,
-    replacing the reference's TB image summaries, ibid.:487-516)."""
+    overlay images through the visual-QA channel (debug_level-gated PNGs +
+    TB image summaries, ibid.:487-516)."""
     from densereg_tpu import geometry
     from densereg_tpu.eval.metrics import max_joint_error
 
-    batch = next(iter(val_pipeline))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     xyz = np.asarray(infer_fn(variables, batch["dm"], batch["cfg"],
                               batch["com"]))
@@ -164,6 +259,8 @@ def _validate(infer_fn, state, val_pipeline, log, step, log_fn,
             np.concatenate([diff[i], dist[i][:, None]], axis=1)))
     log.write(f"validation error: {errs}")
     log_fn(f"[validate] step {step} maxJntError {errs}")
+    if events is not None:
+        events.add_scalar("val/max_joint_error", float(np.mean(errs)), step)
 
     if image_writer is not None:
         uvd = np.asarray(geometry.xyz2uvd(

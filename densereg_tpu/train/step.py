@@ -34,7 +34,8 @@ from densereg_tpu.train.state import TrainState, loss_fn
 
 
 def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
-                      tcfg: TrainConfig, axis_name=None):
+                      tcfg: TrainConfig, axis_name=None,
+                      with_grads: bool = False):
     """One optimizer step.
 
     Args:
@@ -102,11 +103,16 @@ def train_step_single(state: TrainState, batch, rng, *, net_cfg: NetConfig,
     metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
     metrics["grad_norm"] = grad_norm
     metrics["param_norm"] = param_norm
+    if with_grads:
+        # for weight/grad histogram summaries (the reference's
+        # train_single_gpu.py:91-95); stays on device unless fetched
+        metrics["grads"] = avg
     return new_state, metrics
 
 
 def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
-                    donate: bool = True, explicit: bool = False):
+                    donate: bool = True, explicit: bool = False,
+                    with_grads: bool = False):
     """Build the jitted train step; with ``mesh`` the batch is expected to be
     sharded ``P(None, "data")`` and the returned function carries the output
     shardings so parameters/optimizer state stay replicated.
@@ -119,15 +125,22 @@ def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
     identical (tests/test_parallel.py pins it); GSPMD is the default because
     XLA schedules the collectives itself.
     """
-    step = functools.partial(train_step_single, net_cfg=net_cfg, tcfg=tcfg)
+    step = functools.partial(train_step_single, net_cfg=net_cfg, tcfg=tcfg,
+                             with_grads=with_grads)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     if explicit:
         from jax.sharding import PartitionSpec as P
 
+        if tuple(mesh.axis_names) != (tcfg.data_axis,):
+            raise ValueError(
+                "explicit shard_map path supports only the 1-D "
+                f"({tcfg.data_axis},) mesh; use GSPMD (explicit=False) for "
+                f"multi-axis meshes, got {mesh.axis_names}")
         inner = functools.partial(train_step_single, net_cfg=net_cfg,
-                                  tcfg=tcfg, axis_name=tcfg.data_axis)
+                                  tcfg=tcfg, axis_name=tcfg.data_axis,
+                                  with_grads=with_grads)
         smapped = jax.shard_map(
             inner, mesh=mesh,
             in_specs=(P(), P(None, tcfg.data_axis), P()),
@@ -139,7 +152,10 @@ def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
-    batch_sharding = NamedSharding(mesh, P(None, tcfg.data_axis))
+    # batch splits over EVERY mesh axis (pure data parallelism): on a
+    # multi-slice (replica, data) mesh XLA lays the gradient all-reduce as
+    # an ICI reduce within slices + a DCN phase across them
+    batch_sharding = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
 
     def sharded_step(state, batch, rng):
         batch = jax.lax.with_sharding_constraint(
