@@ -128,6 +128,10 @@ def cmd_convert(args) -> int:
         for pid in ([args.pid] if args.pid >= 0 else range(msra.NUM_PIDS)):
             msra.convert(args.data_dir or msra.DEFAULT_DIR, pid,
                          args.num_threads)
+    elif args.dataset == "bighand":
+        from densereg_tpu.data import bighand
+        bighand.convert(args.data_dir or bighand.DEFAULT_DIR, args.subset,
+                        args.num_threads)
     elif args.dataset == "synthetic":
         from densereg_tpu.data import synthetic
         synthetic.ensure_shards(args.data_dir or synthetic.DEFAULT_DIR,
@@ -162,7 +166,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pc = sub.add_parser("convert", help="convert source datasets to shards")
     pc.add_argument("--dataset", required=True,
-                    choices=["icvl", "nyu", "msra", "synthetic"])
+                    choices=["icvl", "nyu", "msra", "bighand", "synthetic"])
     pc.add_argument("--subset", default="training")
     pc.add_argument("--data_dir", default=None)
     pc.add_argument("--pid", type=int, default=-1,

@@ -215,3 +215,64 @@ def test_nyu_train_convert_and_stream(tmp_path, rng):
         assert np.isfinite(np.asarray(batch["com"])).all()
     finally:
         pipe.close()
+
+
+# ------------------------------------------------------------------ BigHand
+
+def _make_bighand_source(root, rng, n_train=12, n_test=5):
+    """Miniature BigHand 2.2M tree: images/ of 640x480-style 16-bit PNGs
+    (shrunk) + '<frame> <63 floats>' annotation lines, camera-space xyz mm."""
+    from densereg_tpu.data import bighand as bh
+
+    img_dir = os.path.join(root, "images")
+    for subset, annot, n in (("training", "Training_Annotation.txt", n_train),
+                             ("testing", "Test_Annotation.txt", n_test)):
+        lines = []
+        for i in range(n):
+            name = f"{subset}/image_D{i:08d}.png"
+            _save_png16(os.path.join(img_dir, name), _scene(rng, 48, 64))
+            xyz = np.zeros((21, 3), np.float32)
+            xyz[:, 0] = rng.uniform(-60, 60, 21)
+            xyz[:, 1] = rng.uniform(-60, 60, 21)
+            xyz[:, 2] = rng.uniform(350, 450, 21)
+            lines.append(name + "\t" + " ".join(
+                "%.6f" % v for v in xyz.reshape(-1)))
+        with open(os.path.join(root, annot), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def test_bighand_convert_and_stream(tmp_path, rng):
+    from densereg_tpu.data import bighand as bh
+
+    root = str(tmp_path / "bighand")
+    # spec without shards: actionable error, not a silent empty dataset
+    os.makedirs(root, exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="convert"):
+        bh.make_spec("training", directory=root)
+
+    _make_bighand_source(root, np.random.default_rng(5))
+    bh.convert(root, "training", num_threads=2)
+    bh.convert(root, "testing", num_threads=1)
+
+    spec = bh.make_spec("training", directory=root)
+    assert spec.jnt_num == 21 and spec.pose_dim == 63
+    total = sum(len(r) for r in {r.path: r for r in spec.readers()}.values())
+    assert total == 12
+    assert spec.approximate_num == 12  # meta json count, not a guess
+    r = next(r for r in spec.readers() if len(r))
+    pose = r["pose"][0].reshape(21, 3)
+    assert 350 <= pose[:, 2].min() and pose[:, 2].max() <= 450
+
+    pipe = InputPipeline(spec, batch_size=2, sub_batch=1, input_hw=(32, 32))
+    try:
+        batch = next(iter(pipe))
+        assert batch["dm"].shape == (1, 2, 32, 32, 1)
+        assert batch["pose"].shape == (1, 2, 63)
+    finally:
+        pipe.close()
+
+    test_spec = bh.make_spec("testing", directory=root)
+    assert test_spec.exact_num == 5
+    batches = list(TestPipeline(test_spec, batch_size=4, input_hw=(32, 32)))
+    names = [n for b in batches for n in b["name"]]
+    assert len(set(names)) == 5
