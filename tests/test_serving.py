@@ -74,3 +74,27 @@ def test_predictor_on_mesh(rng):
     # same results as the unsharded predictor
     ref = Predictor(_variables(), NET, ICVL, max_batch=8)(frames, bbxs)
     np.testing.assert_allclose(xyz, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_predictor_int8_calibrated(rng):
+    """quantize=True + a (frames, bbxs) calibration set: int8 params, static
+    activation scales recorded through the predictor's own crop/normalize
+    path.  On the calibration requests themselves the static scales equal
+    the dynamic per-batch ones, so the two quantized predictors must agree;
+    the decoded poses stay finite and shaped."""
+    variables = _variables()
+    frames = rng.uniform(300, 500, (3, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+
+    dyn = Predictor(variables, NET, ICVL, max_batch=4, quantize=True)
+    assert "act_stats" not in dyn.variables
+    q = Predictor(variables, NET, ICVL, max_batch=4, quantize=True,
+                  calibration=(frames, bbxs))
+    assert q.net_cfg.quantize
+    assert q.variables["params"]["stem_conv"]["kernel_q"].dtype == jnp.int8
+    amax = jax.tree_util.tree_leaves(q.variables["act_stats"])
+    assert amax and all(float(a) > 0 for a in amax)
+
+    xd, xq = dyn(frames, bbxs), q(frames, bbxs)
+    assert xq.shape == (3, 12) and np.isfinite(xq).all()
+    np.testing.assert_allclose(xq, xd, rtol=1e-4, atol=1e-3)
