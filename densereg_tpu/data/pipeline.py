@@ -29,6 +29,17 @@ from densereg_tpu.preprocess import (
 )
 
 
+def partition_for_host(items, host_id: int, num_hosts: int):
+    """Disjoint round-robin split of shards across hosts; when there are
+    fewer shards than hosts every host keeps them all (they then diverge by
+    host-seeded shuffle order instead).  The multi-host replacement for the
+    reference's single-process filename queue
+    (/root/reference/data/dataset_base.py:164-172)."""
+    if num_hosts <= 1 or len(items) < num_hosts:
+        return list(items)
+    return list(items[host_id::num_hosts])
+
+
 def _load_frames(reader, idxs, spec: DatasetSpec):
     depth = reader["depth"][idxs].astype(np.float32)[..., None]
     pose = reader["pose"][idxs].astype(np.float32)
@@ -51,19 +62,32 @@ class InputPipeline:
     def __init__(self, spec: DatasetSpec, batch_size: int, sub_batch: int = 1,
                  input_hw=(128, 128), seed: int = 0, mesh=None,
                  prefetch: int = 4, num_workers: int = 1):
+        import jax
+
         self.spec = spec
         self.batch_size = batch_size
         self.sub_batch = sub_batch
         self.input_hw = input_hw
         self.mesh = mesh
+        # multi-host: each process reads a disjoint shard subset and
+        # produces only its 1/num_hosts slice of the global batch; the
+        # slices become one global jax.Array in parallel.mesh.shard_batch
+        self._num_hosts = jax.process_count() if mesh is not None else 1
+        self._host_id = jax.process_index() if mesh is not None else 0
+        if batch_size % self._num_hosts:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{self._num_hosts} hosts")
+        self.local_batch = batch_size // self._num_hosts
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         # Parallel-interleave producers (each with its own shard order);
         # numpy's zlib decompression releases the GIL so workers overlap.
         self._threads = [
-            threading.Thread(target=self._producer,
-                             args=(np.random.default_rng(seed + 7919 * i),),
-                             daemon=True)
+            threading.Thread(
+                target=self._producer,
+                args=(np.random.default_rng(
+                    seed + 7919 * i + 104729 * self._host_id),),
+                daemon=True)
             for i in range(max(num_workers, 1))
         ]
         for t in self._threads:
@@ -74,7 +98,8 @@ class InputPipeline:
         # drop empty shards (linspace sharding can leave some empty when the
         # sample count is below the dataset's conventional shard count)
         readers = [r for r in self.spec.readers() if len(r) > 0]
-        need = self.batch_size * self.sub_batch
+        readers = partition_for_host(readers, self._host_id, self._num_hosts)
+        need = self.local_batch * self.sub_batch
         pool_d, pool_p = [], []
         while not self._stop.is_set():
             order = rng.permutation(len(readers))
@@ -110,10 +135,10 @@ class InputPipeline:
                 jnp.asarray(dms), jnp.asarray(poses), cfg, h, w,
                 self.spec.fixed_bg_threshold)
             batch = {
-                "dm": dm.reshape(self.sub_batch, self.batch_size, h, w, 1),
-                "pose": pose.reshape(self.sub_batch, self.batch_size, -1),
-                "cfg": cfgs.reshape(self.sub_batch, self.batch_size, 6),
-                "com": coms.reshape(self.sub_batch, self.batch_size, 3),
+                "dm": dm.reshape(self.sub_batch, self.local_batch, h, w, 1),
+                "pose": pose.reshape(self.sub_batch, self.local_batch, -1),
+                "cfg": cfgs.reshape(self.sub_batch, self.local_batch, 6),
+                "com": coms.reshape(self.sub_batch, self.local_batch, 3),
             }
             if self.mesh is not None:
                 from densereg_tpu.parallel import shard_batch

@@ -59,6 +59,15 @@ def shard_batch(batch, mesh: Mesh, axis=None, batch_dim: int = 0):
     Replaces the reference's queue-runner host->device feed
     (/root/reference/data/dataset_base.py:164-193): one ``jax.device_put``
     with a ``NamedSharding`` scatters each host array across the mesh.
+
+    Under multi-host ``jax.distributed`` each process passes only its LOCAL
+    slice of the global batch (its pipeline reads a disjoint shard subset,
+    see ``data.pipeline.partition_for_host``); the slices are assembled into
+    one global ``jax.Array`` without any cross-host transfer.
     """
     sharding = batch_sharding(mesh, axis, batch_dim)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

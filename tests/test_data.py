@@ -142,3 +142,32 @@ def test_train_pipeline_multiworker(tmp_path):
             assert np.isfinite(np.asarray(batch["com"])).all()
     finally:
         pipe.close()
+
+
+def test_partition_for_host_disjoint_cover():
+    """Multi-host input: shards split disjointly across hosts; hosts beyond
+    the shard count fall back to host-seeded shuffles of everything."""
+    from densereg_tpu.data.pipeline import partition_for_host
+
+    items = list(range(10))
+    parts = [partition_for_host(items, h, 4) for h in range(4)]
+    assert sorted(x for p in parts for x in p) == items
+    assert all(len(p) >= 2 for p in parts)
+    assert partition_for_host(items, 3, 16) == items
+    assert partition_for_host(items, 0, 1) == items
+
+
+def test_pipeline_rejects_indivisible_multihost_batch(tmp_path, monkeypatch):
+    import jax
+    import pytest
+
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import InputPipeline
+    from densereg_tpu.parallel import make_mesh
+
+    spec = get_dataset("synthetic", "training", directory=str(tmp_path),
+                       num_shards=1, samples_per_shard=8)
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        InputPipeline(spec, batch_size=4, sub_batch=1, input_hw=(32, 32),
+                      mesh=make_mesh())
