@@ -141,6 +141,50 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Visual smoke test: pull a batch through the REAL pipeline (shards ->
+    device crop/normalize) and dump skeleton-annotated depth maps + stats —
+    the reference's ``run_check_record`` / ``run_preprocess`` manual checks
+    (/root/reference/data/icvl.py:159-264) as a first-class subcommand."""
+    import os
+
+    import numpy as np
+
+    from densereg_tpu import geometry
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import TestPipeline
+    from densereg_tpu.eval.visualization import figure_joint_skeleton
+
+    kwargs = {}
+    if args.data_dir:
+        kwargs["directory"] = args.data_dir
+    if args.dataset == "msra":
+        kwargs["pid"] = args.pid
+    spec = get_dataset(args.dataset, args.subset, **kwargs)
+    pipe = TestPipeline(spec, batch_size=args.num_samples,
+                        input_hw=(args.input_size, args.input_size))
+    batch = next(iter(pipe))
+    dm = np.asarray(batch["dm"])
+    pose = np.asarray(batch["pose"])
+    cfgs = np.asarray(batch["cfg"])
+    com = np.asarray(batch["com"])
+    valid = dm[dm > 0]
+    print(f"[check] {spec.name}/{spec.subset}: batch dm{dm.shape} "
+          f"pose{pose.shape}; depth mm [{valid.min():.0f}, {valid.max():.0f}]"
+          f" mean {valid.mean():.0f}; com z [{com[:, 2].min():.0f},"
+          f" {com[:, 2].max():.0f}]")
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(dm.shape[0]):
+        import jax.numpy as jnp
+        uvd = np.asarray(geometry.xyz2uvd(
+            jnp.asarray(pose[i]), jnp.asarray(cfgs[i]))).reshape(-1, 3)
+        fig = figure_joint_skeleton(dm[i, ..., 0], uvd, spec.name)
+        path = os.path.join(args.out, f"check_{spec.name}_{i}.png")
+        fig.savefig(path)
+        print(f"[check] wrote {path}  name={batch['name'][i]}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="densereg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -173,6 +217,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="msra subject (-1 = all)")
     pc.add_argument("--num_threads", type=int, default=8)
     pc.set_defaults(fn=cmd_convert)
+
+    pk = sub.add_parser("check", help="visual smoke test of a converted "
+                                      "dataset (annotated depth maps)")
+    pk.add_argument("--dataset", required=True,
+                    choices=["icvl", "nyu", "msra", "bighand", "synthetic"])
+    pk.add_argument("--subset", default="training")
+    pk.add_argument("--data_dir", default=None)
+    pk.add_argument("--pid", type=int, default=0)
+    pk.add_argument("--num_samples", type=int, default=4)
+    pk.add_argument("--input_size", type=int, default=128)
+    pk.add_argument("--out", default="./check_out")
+    pk.set_defaults(fn=cmd_check)
     return p
 
 

@@ -98,6 +98,21 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     timer = StepTimer()
     data_iter = iter(pipeline)
     profiling = False
+
+    # Preemption handling the reference lacks (SURVEY.md §5 "failure
+    # detection: none"): SIGTERM (TPU-VM maintenance / scheduler preemption)
+    # requests a checkpoint at the next step boundary, then exits cleanly so
+    # --resume restarts from it.
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    old_handler = None
+    import threading
+    if threading.current_thread() is threading.main_thread():
+        old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     try:
         start = int(state.step)
         for step in range(start, max_steps):
@@ -136,8 +151,15 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             if val_spec is not None and step % tcfg.validate_every == 0:
                 _validate(infer_fn, state, next(val_iter), log, step,
                           log_fn, image_writer, spec.name, events)
-            if step % tcfg.checkpoint_every == 0 or step + 1 == max_steps:
+            if (step % tcfg.checkpoint_every == 0 or step + 1 == max_steps
+                    or preempted["flag"]):
                 ckpt.save(state)
+            if preempted["flag"]:
+                log.write(f"[train] SIGTERM: checkpointed step "
+                          f"{int(state.step)} and stopping")
+                log_fn(f"[train] preempted at step {step}; resume with "
+                       f"--resume")
+                break
         return state
     except (KeyboardInterrupt, FloatingPointError):
         raise
@@ -151,6 +173,8 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             pass
         raise
     finally:
+        if old_handler is not None:
+            signal.signal(signal.SIGTERM, old_handler)
         if profiling:
             jax.profiler.stop_trace()
         pipeline.close()

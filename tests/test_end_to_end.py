@@ -160,3 +160,47 @@ def test_graft_entry_dryrun_multichip():
     # exercises the in-process path end-to-end (subprocess fallback is only
     # reachable when the interpreter's jax is pinned to a 1-device platform).
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_sigterm_preemption_checkpoints_and_stops(tmp_path):
+    """TPU-VM preemption: SIGTERM mid-run must checkpoint at the next step
+    boundary and stop cleanly (resumable), not die or run to max_steps."""
+    import glob as _glob
+    import os as _os
+    import signal
+    import threading
+    import time
+
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       base_dir=base_dir, checkpoint_every=1000,
+                       histogram_every=0, epochs=1)
+    spec = get_dataset("synthetic", "training", directory=data_dir,
+                       num_shards=1, samples_per_shard=8)
+
+    def fire_when_running():
+        # the step-0 checkpoint (step % 1000 == 0) appears only after the
+        # handler is installed, so SIGTERM is guaranteed to hit our handler
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if _glob.glob(_os.path.join(base_dir, "*", "ckpt", "*")):
+                _os.kill(_os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.2)
+
+    t = threading.Thread(target=fire_when_running, daemon=True)
+    t.start()
+    state = run_train(spec, NET, tcfg, max_steps=10_000,
+                      log_fn=lambda *_: None)
+    t.join(timeout=5)
+    final = int(state.step)
+    assert final < 10_000  # stopped early
+    steps = sorted(int(os.path.basename(p)) for p in _glob.glob(
+        _os.path.join(base_dir, "*", "ckpt", "*")) if
+        os.path.basename(p).isdigit())
+    assert steps and steps[-1] == final  # resumable from the last step
+    log = open(_glob.glob(_os.path.join(base_dir, "*",
+                                        "training_log.txt"))[0]).read()
+    assert "SIGTERM" in log
