@@ -8,6 +8,8 @@ from densereg_tpu.utils.device import default_device, topology_report, visible_d
 from densereg_tpu.utils.logging import MetricLogger, TrainLogWriter
 from densereg_tpu.utils.profiling import StepTimer
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_topology_and_visibility(monkeypatch):
     report = topology_report()
@@ -66,3 +68,46 @@ def test_ema_params_track_params(rng):
         np.testing.assert_allclose(np.asarray(e),
                                    0.5 * np.asarray(p0) + 0.5 * np.asarray(p1),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_trace_summary_tool(tmp_path):
+    """tools/trace_summary.py digests a Chrome-trace export into per-op
+    rows (the terminal profiling story; no TensorBoard needed)."""
+    import gzip
+    import json
+    import subprocess
+    import sys
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 3, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.1", "ts": 0,
+         "dur": 3000},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "fusion.1", "ts": 4000,
+         "dur": 1000},
+        {"ph": "X", "pid": 3, "tid": 1, "name": "conv.2", "ts": 9000,
+         "dur": 1000},
+        # host-side event with the same line name must NOT be counted
+        {"ph": "X", "pid": 7, "tid": 1, "name": "hostwork", "ts": 0,
+         "dur": 99999},
+    ]
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    out = subprocess.run(
+        [sys.executable, "tools/trace_summary.py", str(tmp_path),
+         "--steps", "2"],
+        capture_output=True, text=True, cwd=ROOT)
+    assert out.returncode == 0, out.stderr
+    assert "total 2.50 ms/step" in out.stdout
+    lines = [l for l in out.stdout.splitlines() if "fusion.1" in l]
+    assert lines and "2.000" in lines[0] and "80.0" in lines[0]
+    assert "hostwork" not in out.stdout
