@@ -130,6 +130,9 @@ class TrainConfig:
     summary_every: int = 20
     validate_every: int = 40
     checkpoint_every: int = 100
+    # retained checkpoints (the reference's tf.train.Saver default
+    # max_to_keep=5, train_single_gpu.py:108); None keeps everything
+    keep_checkpoints: Optional[int] = 5
     # weight/grad histogram summaries to the TensorBoard event file
     # (train_single_gpu.py:91-95 writes them every summary step; here the
     # cadence is separate because it fetches the full parameter and gradient

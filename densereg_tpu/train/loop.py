@@ -48,7 +48,8 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     os.makedirs(train_dir, exist_ok=True)
     log = TrainLogWriter(train_dir)
     metrics_log = MetricLogger(os.path.join(train_dir, "metrics.jsonl"))
-    ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"))
+    ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"),
+                             max_to_keep=tcfg.keep_checkpoints)
 
     rng = jax.random.key(tcfg.seed)
     rng, init_rng = jax.random.split(rng)

@@ -204,3 +204,22 @@ def test_sigterm_preemption_checkpoints_and_stops(tmp_path):
     log = open(_glob.glob(_os.path.join(base_dir, "*",
                                         "training_log.txt"))[0]).read()
     assert "SIGTERM" in log
+
+
+def test_checkpoint_retention(tmp_path):
+    """Retention matches the reference Saver's max_to_keep contract."""
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.checkpoint import CheckpointManager
+    import jax
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig(batch_size=2, sub_batch=1)
+    state = create_train_state(jax.random.key(0), NET, tcfg, 10.0)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    for s in (1, 2, 3, 4):
+        mgr.save(state.replace(step=jnp.asarray(s, jnp.int32)))
+    kept = sorted(int(os.path.basename(p)) for p in glob.glob(
+        str(tmp_path / "ckpt" / "*")) if os.path.basename(p).isdigit())
+    assert kept == [3, 4]
+    assert mgr.latest_step() == 4
+    mgr.close()
