@@ -108,9 +108,12 @@ def cmd_test(args) -> int:
 
     train_spec, test_spec = _specs(args)
     net, tcfg = _configs(args, test_spec.jnt_num)
+    if args.ema_decay is not None:
+        tcfg = dataclasses.replace(tcfg, ema_decay=args.ema_decay)
     ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
-         mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module)
+         mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module,
+         use_ema=args.use_ema)
     return 0
 
 
@@ -206,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="-1 = latest checkpoint")
     pe.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
                     default=False)
+    pe.add_argument("--use_ema", action="store_true",
+                    help="evaluate EMA weights (run must be trained with "
+                         "--ema_decay)")
+    pe.add_argument("--ema_decay", type=float, default=None,
+                    help="must match the training run when using --use_ema "
+                         "(shapes the restore template)")
     pe.set_defaults(fn=cmd_test)
 
     pc = sub.add_parser("convert", help="convert source datasets to shards")

@@ -77,6 +77,11 @@ class NetConfig:
     # Serving-only: int8 convolutions (requires fold_bn; params from
     # densereg_tpu.models.quantize.quantize_weights).
     quantize: bool = False
+    # Rematerialize each hourglass + um-head stack on the backward pass
+    # (jax.checkpoint): trades ~1/3 more forward FLOPs for dropping the
+    # stack's activations from HBM, enabling much larger train batches.
+    # No reference analogue (TF1 kept every activation).
+    remat: bool = False
     # Batch-renorm hyperparameters (/root/reference/network/slim/ops.py:42-166
     # plus the per-layer arg_scope at /root/reference/network/um_v1.py:9-12).
     bn_decay: float = 0.99

@@ -63,15 +63,33 @@ class CheckpointManager:
         }
         if state.ema_params is not None:
             template["ema_params"] = state.ema_params
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        # Reconcile EMA presence with what's actually on disk: a no-EMA eval
+        # template can restore an EMA checkpoint (the shadows are read into
+        # a params-shaped slot and discarded), and an EMA template restoring
+        # a no-EMA checkpoint simply gets no shadows.  Orbax enforces exact
+        # tree match, so on an ema_params mismatch we flip the template's
+        # ema slot and retry once.
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except ValueError as e:
+            if "ema_params" not in str(e):
+                raise
+            if "ema_params" in template:
+                template.pop("ema_params")
+            else:
+                template["ema_params"] = state.params
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        keep_ema = (state.ema_params is not None
+                    and "ema_params" in restored)
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
             renorm_t=jax.numpy.asarray(restored["renorm_t"]),
-            ema_params=restored.get("ema_params", state.ema_params),
+            ema_params=restored["ema_params"] if keep_ema else None,
         )
 
     def close(self):

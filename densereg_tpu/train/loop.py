@@ -297,9 +297,15 @@ def _validate(infer_fn, state, batch, log, step, log_fn,
 def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
          ecfg: EvalConfig = EvalConfig(), selected_step: Optional[int] = -1,
          mesh=None, net_name: str = "um_v1", train_spec: Optional[DatasetSpec] = None,
-         log_fn=print):
+         use_ema: bool = False, log_fn=print):
     """Test driver (/root/reference/model/test_model.py): restore a
-    checkpoint, stream the test split, dump predictions + error curve."""
+    checkpoint, stream the test split, dump predictions + error curve.
+
+    ``use_ema`` evaluates the exponential-moving-average weights instead of
+    the raw ones (requires a run trained with ``TrainConfig.ema_decay``; the
+    reference defines the same EMA in its multi-GPU trainer,
+    /root/reference/model/train_multi_gpu.py:108-112, with eval-time shadow
+    restoration as the intended use)."""
     from datetime import datetime
 
     name_spec = train_spec if train_spec is not None else spec
@@ -315,7 +321,14 @@ def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     state = ckpt.restore(state, selected_step)
     log_fn(f"[test] restored from {train_dir}")
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    params = state.params
+    if use_ema:
+        if state.ema_params is None:
+            raise ValueError("checkpoint has no EMA weights; train with "
+                             "--ema_decay to use --use_ema")
+        params = state.ema_params
+        log_fn("[test] evaluating EMA weights")
+    variables = {"params": params, "batch_stats": state.batch_stats}
     infer_fn = make_infer_fn(net_cfg, ecfg, mesh=mesh)
     pipe = TestPipeline(spec, ecfg.batch_size, net_cfg.input_hw, mesh=mesh)
 

@@ -10,6 +10,8 @@ restore, decode, result writer, metrics — runs in one pass.
 import glob
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,37 @@ def test_checkpoint_retention(tmp_path):
     assert kept == [3, 4]
     assert mgr.latest_step() == 4
     mgr.close()
+
+
+@pytest.mark.slow
+def test_ema_weights_evaluation(tmp_path):
+    """--use_ema evaluates the EMA shadow weights (the reference defines the
+    same EMA in train_multi_gpu.py:108-112; eval-time restoration is its
+    intended use) and fails loudly on runs trained without EMA."""
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       base_dir=base_dir, ema_decay=0.5, histogram_every=0,
+                       checkpoint_every=2, epochs=1)
+    spec = get_dataset("synthetic", "training", directory=data_dir,
+                       num_shards=1, samples_per_shard=8)
+    val = get_dataset("synthetic", "testing", directory=data_dir,
+                      num_shards=1, samples_per_shard=4)
+    state = run_train(spec, NET, tcfg, max_steps=3, log_fn=lambda *_: None)
+    # EMA diverged from the raw params after 3 updates
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                             jax.tree_util.tree_leaves(state.ema_params))]
+    assert max(diffs) > 0
+
+    report = run_test(val, NET, tcfg, EvalConfig(batch_size=4),
+                      selected_step=-1, train_spec=spec, use_ema=True,
+                      log_fn=lambda *_: None)
+    assert report["num_frames"] == val.exact_num
+
+    import dataclasses
+    no_ema = dataclasses.replace(tcfg, ema_decay=None)
+    with pytest.raises(ValueError, match="no EMA weights"):
+        run_test(val, NET, no_ema, EvalConfig(batch_size=4),
+                 selected_step=-1, train_spec=spec, use_ema=True,
+                 log_fn=lambda *_: None)

@@ -111,3 +111,32 @@ def test_weight_decay_excludes_inter_convs():
     }
     wd = float(weight_decay_loss(params, 0.0005))
     np.testing.assert_allclose(wd, 0.5 * 0.0005 * 4.0, rtol=1e-6)
+
+
+def test_remat_matches_no_remat(rng):
+    """NetConfig.remat must change memory behavior only: identical loss and
+    gradients (jax.checkpoint recomputes the forward on the backward)."""
+    import dataclasses
+
+    net_r = dataclasses.replace(NET, remat=True, dropout_rate=0.0)
+    net_p = dataclasses.replace(NET, remat=False, dropout_rate=0.0)
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False)
+    state = create_train_state(jax.random.key(0), net_p, tcfg, 100.0)
+    batch = make_batch(rng, 1, 2)
+
+    def vg(net):
+        def f(p):
+            loss, _ = loss_fn(p, state.batch_stats, state.apply_fn,
+                              micro_batch(batch, 0), net_cfg=net, tcfg=tcfg,
+                              renorm_t=jnp.float32(0.01),
+                              dropout_rng=jax.random.key(1))
+            return loss
+        return jax.value_and_grad(f)(state.params)
+
+    lp, gp = vg(net_p)
+    lr_, gr = vg(net_r)
+    np.testing.assert_allclose(float(lp), float(lr_), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
