@@ -41,7 +41,11 @@ def partition_for_host(items, host_id: int, num_hosts: int):
 
 
 def _load_frames(reader, idxs, spec: DatasetSpec):
-    depth = reader["depth"][idxs].astype(np.float32)[..., None]
+    # Depth stays in the shards' native dtype (uint16) all the way to the
+    # device: the jitted preprocess casts to float32 on-chip, so the
+    # host->device transfer moves 2 bytes/pixel instead of 4.  That path is
+    # the measured bottleneck of the eval/serving loop through the relay.
+    depth = reader["depth"][idxs][..., None]
     pose = reader["pose"][idxs].astype(np.float32)
     if spec.pose_select is not None and pose.shape[-1] != spec.pose_dim:
         pose = pose[:, spec.pose_select]

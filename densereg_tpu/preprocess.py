@@ -276,9 +276,12 @@ def preprocess_batch_from_pose(dms, poses, cfg, out_h, out_w,
     Equivalent of ``dataset.preprocess_op`` + ``center_of_mass``
     (/root/reference/data/icvl.py:145-150) as one jitted program.
 
-    Args: dms (b,H,W,1); poses (b,3j); cfg (6,) shared intrinsics.
+    Args: dms (b,H,W,1) — any real dtype: the host pipeline feeds the
+      shards' native uint16 (half the host->device bytes of float32) and the
+      cast to float32 happens here, on device, before the bilinear crop.
     Returns: (cropped (b,h,w,1), poses, cfgs (b,6), coms (b,3)).
     """
+    dms = dms.astype(jnp.float32)
     crop = jax.vmap(
         lambda d, p: crop_from_xyz_pose(d, p, cfg, out_h, out_w,
                                         fixed_bg_threshold=fixed_bg_threshold))
@@ -290,7 +293,9 @@ def preprocess_batch_from_pose(dms, poses, cfg, out_h, out_w,
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def preprocess_batch_from_bbx(dms, poses, bbxs, cfg, out_h, out_w):
     """NYU-test-style preprocess: crop from stored bounding boxes
-    (/root/reference/data/nyu.py:208-220)."""
+    (/root/reference/data/nyu.py:208-220).  Accepts uint16 depth like
+    :func:`preprocess_batch_from_pose`."""
+    dms = dms.astype(jnp.float32)
     crop = jax.vmap(lambda d, p, b: crop_from_bbx(d, p, b, cfg, out_h, out_w))
     cropped, poses, cfgs = crop(dms, poses, bbxs)
     coms = jax.vmap(center_of_mass)(cropped, cfgs)

@@ -67,6 +67,9 @@ class Predictor:
         cam = camera.as_array()
 
         def preprocess(frames, bbxs):
+            # uint16 requests are cast on device: half the host->device
+            # bytes of float32 on the transfer-bound serving path.
+            frames = frames.astype(jnp.float32)
             crop = jax.vmap(
                 lambda d, b: crop_from_bbx(d, jnp.zeros((1,)), b, cam,
                                            in_h, in_w))
@@ -154,7 +157,9 @@ class Predictor:
         chunk pipeline: chunk k+1 is padded + enqueued before chunk k's
         result is fetched, overlapping host work and transfers with device
         compute."""
-        frames = np.asarray(frames_mm, np.float32)
+        frames = np.asarray(frames_mm)
+        if frames.dtype != np.uint16:  # keep integer depth in native width
+            frames = frames.astype(np.float32, copy=False)
         if frames.ndim == 3:
             frames = frames[..., None]
         b = frames.shape[0]

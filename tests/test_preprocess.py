@@ -170,3 +170,22 @@ def test_preprocess_batch(rng):
     assert c.shape == (3, 128, 128, 1)
     assert cfgs.shape == (3, 6) and coms.shape == (3, 3)
     assert np.asarray(coms)[:, 2].min() >= 200.0
+
+
+def test_preprocess_batch_uint16_matches_float32(rng):
+    """The host pipeline transfers depth in the shards' native uint16; the
+    on-device cast must give bit-identical results to a float32 feed."""
+    dms, poses = [], []
+    for _ in range(3):
+        d, p = _hand_scene(rng)
+        dms.append(np.round(d)[..., None])  # integer mm, as stored
+        poses.append(p)
+    dms = np.stack(dms)
+    poses = jnp.asarray(np.stack(poses))
+    out_f32 = preprocess.preprocess_batch_from_pose(
+        jnp.asarray(dms, jnp.float32), poses, ICVL.as_array(), 128, 128, 500.0)
+    out_u16 = preprocess.preprocess_batch_from_pose(
+        jnp.asarray(dms.astype(np.uint16)), poses, ICVL.as_array(),
+        128, 128, 500.0)
+    for a, b in zip(out_f32, out_u16):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -33,6 +33,51 @@ def test_predictor_shapes_padding_and_chunking(rng):
     np.testing.assert_allclose(xyz9[3:6], xyz, rtol=1e-5, atol=1e-5)
 
 
+def test_export_roundtrip_matches_live_predictor(rng, tmp_path):
+    """jax.export artifact: baked-in weights + full serving program must
+    reproduce the live Predictor bit-for-bit, without model code."""
+    from densereg_tpu.export import export_predictor, load_exported
+
+    pred = Predictor(_variables(), NET, ICVL, max_batch=4)
+    path = str(tmp_path / "model.drexpt")
+    export_predictor(pred, path, platforms=("cpu",))
+
+    loaded = load_exported(path)
+    assert loaded.max_batch == 4
+    assert loaded.frame_hw == (240, 320)
+    assert loaded.num_joint == 4
+
+    frames = rng.uniform(300, 500, (3, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    np.testing.assert_array_equal(pred(frames, bbxs), loaded(frames, bbxs))
+
+    # chunked request through the exported program
+    frames9 = np.concatenate([frames] * 3)
+    bbxs9 = np.concatenate([bbxs] * 3)
+    np.testing.assert_array_equal(pred(frames9, bbxs9),
+                                  loaded(frames9, bbxs9))
+
+    # header validation
+    bad = tmp_path / "bad.drexpt"
+    bad.write_bytes(b"NOTDREXP" + b"\0" * 16)
+    try:
+        load_exported(str(bad))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_predictor_uint16_request_matches_float32(rng):
+    """Serving accepts uint16 depth frames (half the transfer bytes); the
+    on-device cast must reproduce the float32 request exactly."""
+    pred = Predictor(_variables(), NET, ICVL, max_batch=4)
+    frames = np.round(rng.uniform(300, 500, (3, 240, 320)))
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    xyz_f32 = pred(frames.astype(np.float32), bbxs)
+    xyz_u16 = pred(frames.astype(np.uint16), bbxs)
+    np.testing.assert_array_equal(xyz_f32, xyz_u16)
+
+
 def test_predictor_folds_bn_by_default():
     pred = Predictor(_variables(), NET, ICVL, max_batch=2)
     assert pred.net_cfg.fold_bn

@@ -1,5 +1,6 @@
 import json
 import os
+import sys
 
 import jax
 import numpy as np
@@ -111,3 +112,34 @@ def test_trace_summary_tool(tmp_path):
     lines = [l for l in out.stdout.splitlines() if "fusion.1" in l]
     assert lines and "2.000" in lines[0] and "80.0" in lines[0]
     assert "hostwork" not in out.stdout
+
+
+def test_sol_report_roofline_math():
+    """tools/sol_report.py: peak-table lookup and roofline arithmetic."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import sol_report
+
+    class Dev:
+        device_kind = "TPU v5 lite"
+
+    key, peaks = sol_report.chip_peaks(Dev())
+    assert key == "v5e" and peaks == (197.0, 394.0, 819.0)
+
+    class Cpu:
+        device_kind = "cpu"
+
+    assert sol_report.chip_peaks(Cpu()) == (None, None)
+
+    # compute-bound program: 19.7 TF at v5e's 197 TF/s peak -> sol 100 ms
+    row = sol_report.report_line("x", 19.7e12, 8.19e9, 0.2, peaks)
+    assert row["bound"] == "compute"
+    assert abs(row["sol_ms"] - 100.0) < 1e-6
+    assert abs(row["sol_pct"] - 50.0) < 1e-6
+    # memory-bound: 81.9 GB at 819 GB/s -> sol 100 ms
+    row = sol_report.report_line("y", 1e9, 81.9e9, 0.4, peaks)
+    assert row["bound"] == "memory"
+    assert abs(row["sol_ms"] - 100.0) < 1e-6
+    assert abs(row["hbm_pct"] - 25.0) < 1e-6
+    # int8 peak selection
+    row = sol_report.report_line("z", 39.4e12, 1e6, 0.1, peaks, int8=True)
+    assert abs(row["sol_ms"] - 100.0) < 1e-6

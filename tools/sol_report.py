@@ -1,0 +1,220 @@
+"""Speed-of-light report: roofline accounting for the hot programs.
+
+For each compiled program (network forward, full serving path, train step)
+this prints the XLA cost-analysis FLOPs and HBM bytes, the measured step
+time, and where that sits against the chip's compute and memory-bandwidth
+rooflines:
+
+    sol_ms   = max(flops / peak_flops, bytes / peak_bw)   # roofline floor
+    sol_pct  = sol_ms / measured_ms                       # fraction of light
+
+The reference has no performance accounting at all (its only instrumentation
+is wall-clock sec/batch, /root/reference/model/train_single_gpu.py:152-157);
+this tool is the rebuild's "is the kernel at speed of light?" answer.
+
+Caveats, so the numbers are read honestly:
+  * XLA reports algorithmic FLOPs; on MXU hardware a bf16/int8 program's
+    *attainable* peak is the bf16/int8 one, so we report utilization against
+    the peak matching the program's compute dtype.
+  * "bytes accessed" is XLA's model of HBM traffic after fusion, not a
+    hardware counter measurement.
+
+Usage: python tools/sol_report.py [--batch 256] [--train] [--dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Peak specs per TPU generation: (bf16 TFLOP/s, int8 TOP/s, HBM GB/s).
+# Public numbers from cloud.google.com/tpu/docs/system-architecture.
+CHIP_PEAKS = {
+    "v6e": (918.0, 1836.0, 1640.0),
+    "v5e": (197.0, 394.0, 819.0),
+    "v5p": (459.0, 918.0, 2765.0),
+    "v4": (275.0, 275.0, 1228.0),
+    "v3": (123.0, 123.0, 900.0),
+    "v2": (46.0, 46.0, 700.0),
+}
+
+
+def chip_peaks(device):
+    kind = str(getattr(device, "device_kind", "")).lower()
+    squashed = kind.replace("tpu", "").replace(" ", "").replace("-", "")
+    # jax reports "TPU v5 lite" for v5e and "TPU v6 lite" for v6e
+    squashed = squashed.replace("v5lite", "v5e").replace("v6lite", "v6e")
+    for key, peaks in CHIP_PEAKS.items():
+        if key in squashed:
+            return key, peaks
+    return None, None
+
+
+def cost_of(jitted, *args):
+    """(flops, hbm_bytes) from the compiled executable's cost analysis."""
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def timeit_chained(step, x0, iters=20, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    def fence(x):  # x may be an array or a pytree (TrainState)
+        float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+
+    x = step(x0)
+    fence(x)
+    for _ in range(warmup - 1):
+        x = step(x)
+    fence(x)
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(iters):
+        x = step(x)
+    fence(x)
+    return (time.perf_counter() - t0) / iters
+
+
+def report_line(name, flops, nbytes, t_meas, peaks, int8=False):
+    """One table row; returns the dict for programmatic use/tests."""
+    row = {"name": name, "gflops": flops / 1e9, "mbytes": nbytes / 1e6,
+           "ms": t_meas * 1e3,
+           "achieved_tflops": flops / t_meas / 1e12,
+           "achieved_gbps": nbytes / t_meas / 1e9}
+    if peaks:
+        peak_tf = peaks[1] if int8 else peaks[0]
+        t_compute = flops / (peak_tf * 1e12)
+        t_mem = nbytes / (peaks[2] * 1e9)
+        t_sol = max(t_compute, t_mem)
+        row.update({
+            "bound": "compute" if t_compute >= t_mem else "memory",
+            "sol_ms": t_sol * 1e3,
+            "sol_pct": 100.0 * t_sol / t_meas,
+            "mxu_pct": 100.0 * row["achieved_tflops"] / peak_tf,
+            "hbm_pct": 100.0 * row["achieved_gbps"] / peaks[2],
+        })
+        print(f"{name:<28} {row['gflops']:9.1f} GF {row['mbytes']:8.1f} MB "
+              f"{row['ms']:8.2f} ms  sol {row['sol_ms']:7.2f} ms "
+              f"({row['sol_pct']:5.1f}% of light, {row['bound']}-bound; "
+              f"mxu {row['mxu_pct']:4.1f}%, hbm {row['hbm_pct']:4.1f}%)")
+    else:
+        print(f"{name:<28} {row['gflops']:9.1f} GF {row['mbytes']:8.1f} MB "
+              f"{row['ms']:8.2f} ms  ({row['achieved_tflops']:.2f} TF/s, "
+              f"{row['achieved_gbps']:.1f} GB/s; no peak table for device)")
+    return row
+
+
+def build_programs(batch, dtype, train, train_batch=40, sub_batch=5,
+                   num_stack=2, num_fea=128, input_hw=(128, 128)):
+    """(name, jitted_chained_step, example_input, is_int8) tuples."""
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu import geometry
+    from densereg_tpu.config import (CameraConfig, EvalConfig, NetConfig,
+                                     TrainConfig)
+    from densereg_tpu.eval.loop import make_infer_fn
+    from densereg_tpu.models import DenseRegNet
+    from densereg_tpu.preprocess import norm_dm
+
+    h, w = input_hw
+    net_cfg = NetConfig(num_stack=num_stack, num_fea=num_fea, num_joint=16,
+                        input_hw=input_hw, compute_dtype=dtype)
+    net = DenseRegNet(net_cfg)
+    icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+    cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), h, w)[None],
+                    (batch, 1))
+    coms = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32), (batch, 1))
+    rng = np.random.default_rng(0)
+    dms = jnp.asarray(rng.uniform(300, 500, (batch, h, w, 1))
+                      .astype(np.float32))
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, h, w, 1)), train=False)
+    programs = []
+
+    @jax.jit
+    def fwd(x):
+        outs = net.apply(variables, x, train=False)
+        return x + jnp.sum(outs["um"][-1]) * 1e-24
+
+    programs.append((f"forward b{batch}", fwd, norm_dm(dms, coms), False))
+
+    infer = make_infer_fn(net_cfg, EvalConfig(batch_size=batch))
+
+    @jax.jit
+    def serve(x):
+        xyz = infer(variables, x, cfgs, coms)
+        return x + jnp.sum(xyz) * 1e-24
+
+    programs.append((f"serve b{batch}", serve, dms, False))
+
+    if train:
+        from densereg_tpu.train import create_train_state, make_train_step
+        tcfg = TrainConfig(batch_size=train_batch, sub_batch=sub_batch,
+                           augment=True)
+        state = create_train_state(jax.random.key(0), net_cfg, tcfg, 1e6)
+        step_fn = make_train_step(net_cfg, tcfg, donate=False)
+        sub, bb = sub_batch, train_batch
+        poses = np.zeros((sub, bb, 16, 3), np.float32)
+        poses[..., 0] = rng.uniform(-40, 40, (sub, bb, 16))
+        poses[..., 1] = rng.uniform(-40, 40, (sub, bb, 16))
+        poses[..., 2] = rng.uniform(360, 440, (sub, bb, 16))
+        batch_tr = {
+            "dm": jnp.asarray(rng.uniform(300, 500, (sub, bb, h, w, 1))
+                              .astype(np.float32)),
+            "pose": jnp.asarray(poses.reshape(sub, bb, -1)),
+            "cfg": jnp.tile(geometry.scale_cfg(icvl.as_array(), h, w)
+                            [None, None], (sub, bb, 1)),
+            "com": jnp.asarray(poses.mean(axis=2)),
+        }
+        key = jax.random.key(1)
+
+        def train_step(s):
+            return step_fn(s, batch_tr, key)[0]
+
+        programs.append((f"train b{bb}x{sub}", train_step, state, False))
+    return programs
+
+
+def main(argv=None):
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--num_stack", type=int, default=2)
+    ap.add_argument("--num_fea", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    dev = jax.devices()[0]
+    kind, peaks = chip_peaks(dev)
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}"
+          + (f"  (peaks: {peaks[0]} TF bf16 / {peaks[1]} TOP int8 / "
+             f"{peaks[2]} GB/s)" if peaks else "  (no peak table)"))
+
+    rows = []
+    for name, step, x0, int8 in build_programs(args.batch, args.dtype,
+                                               args.train,
+                                               num_stack=args.num_stack,
+                                               num_fea=args.num_fea):
+        jitted = step if hasattr(step, "lower") else jax.jit(step)
+        flops, nbytes = cost_of(jitted, x0)
+        t = timeit_chained(jitted, x0, iters=args.iters)
+        rows.append(report_line(name, flops, nbytes, t, peaks, int8=int8))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
