@@ -188,6 +188,30 @@ def cmd_check(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Bake a trained checkpoint into a standalone jax.export serving
+    artifact (weights + crop/forward/decode; see densereg_tpu.export)."""
+    import os
+
+    from densereg_tpu.config import model_desc
+    from densereg_tpu.export import export_predictor
+    from densereg_tpu.serving import Predictor
+
+    train_spec, test_spec = _specs(args)
+    net, tcfg = _configs(args, test_spec.jnt_num)
+    desc = model_desc(train_spec.name, train_spec.subset, net, args.is_aug,
+                      args.net_module)
+    train_dir = os.path.join(args.base_dir, desc)
+    pred = Predictor.from_checkpoint(
+        train_dir, net, test_spec.cfg, step=args.selected_step,
+        max_batch=args.batch_size, quantize=args.quantize)
+    out = args.out or f"{desc}.drexpt"
+    export_predictor(pred, out, platforms=tuple(args.platforms.split(",")))
+    print(f"[export] wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
+          f"max_batch={args.batch_size}, platforms={args.platforms})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="densereg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -238,6 +262,19 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--input_size", type=int, default=128)
     pk.add_argument("--out", default="./check_out")
     pk.set_defaults(fn=cmd_check)
+
+    px = sub.add_parser("export", help="bake a checkpoint into a standalone "
+                                       "jax.export serving artifact")
+    _add_common(px)
+    px.add_argument("--selected_step", type=int, default=-1,
+                    help="-1 = latest checkpoint")
+    px.add_argument("--quantize", action="store_true",
+                    help="export the int8-weight serving graph")
+    px.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering targets")
+    px.add_argument("--out", default=None,
+                    help="output path (default <model-desc>.drexpt)")
+    px.set_defaults(fn=cmd_export)
     return p
 
 

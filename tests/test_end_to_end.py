@@ -145,6 +145,10 @@ def test_cli_parser_surface():
     assert a.pid == 3 and a.selected_step == -1
     a = p.parse_args(["convert", "--dataset", "nyu", "--subset", "testing"])
     assert a.fn.__name__ == "cmd_convert"
+    a = p.parse_args(["export", "--dataset", "icvl", "--quantize",
+                      "--platforms", "cpu", "--out", "m.drexpt"])
+    assert a.fn.__name__ == "cmd_export" and a.quantize
+    assert a.platforms == "cpu" and a.out == "m.drexpt"
 
 
 def test_graft_entry_dryrun_multichip():

@@ -56,13 +56,15 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--net", default="um_v1",
+                    help="architecture variant: um_v1 | um_v1_lite")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
     net_cfg = NetConfig(num_stack=2, num_fea=128, num_joint=16,
-                        compute_dtype=args.dtype)
+                        compute_dtype=args.dtype, net_module=args.net)
     net = DenseRegNet(net_cfg)
     icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
     cfg128 = geometry.scale_cfg(icvl.as_array(), 128, 128)

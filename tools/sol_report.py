@@ -115,7 +115,8 @@ def report_line(name, flops, nbytes, t_meas, peaks, int8=False):
 
 
 def build_programs(batch, dtype, train, train_batch=40, sub_batch=5,
-                   num_stack=2, num_fea=128, input_hw=(128, 128)):
+                   num_stack=2, num_fea=128, input_hw=(128, 128),
+                   net_module="um_v1"):
     """(name, jitted_chained_step, example_input, is_int8) tuples."""
     import jax
     import jax.numpy as jnp
@@ -129,7 +130,8 @@ def build_programs(batch, dtype, train, train_batch=40, sub_batch=5,
 
     h, w = input_hw
     net_cfg = NetConfig(num_stack=num_stack, num_fea=num_fea, num_joint=16,
-                        input_hw=input_hw, compute_dtype=dtype)
+                        input_hw=input_hw, compute_dtype=dtype,
+                        net_module=net_module)
     net = DenseRegNet(net_cfg)
     icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
     cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), h, w)[None],
@@ -195,6 +197,7 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--num_stack", type=int, default=2)
     ap.add_argument("--num_fea", type=int, default=128)
+    ap.add_argument("--net", default="um_v1")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -208,7 +211,8 @@ def main(argv=None):
     for name, step, x0, int8 in build_programs(args.batch, args.dtype,
                                                args.train,
                                                num_stack=args.num_stack,
-                                               num_fea=args.num_fea):
+                                               num_fea=args.num_fea,
+                                               net_module=args.net):
         jitted = step if hasattr(step, "lower") else jax.jit(step)
         flops, nbytes = cost_of(jitted, x0)
         t = timeit_chained(jitted, x0, iters=args.iters)
