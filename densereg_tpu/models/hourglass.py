@@ -22,7 +22,9 @@ from densereg_tpu.config import NetConfig
 from densereg_tpu.models.layers import (
     ConvBR,
     Residual,
+    as_float,
     max_pool_same,
+    quantize_output,
     upsample_nearest_2x,
 )
 from densereg_tpu.preprocess import area_resize
@@ -76,7 +78,10 @@ class Hourglass(nn.Module):
             lower2 = lower1
         lower3 = res("lower_out")(lower2, **kw)
         upper2 = upsample_nearest_2x(lower3)
-        return upper1 + upper2
+        out = as_float(upper1) + as_float(upper2)
+        if self.quantized:
+            return quantize_output(self, out, self.dtype)
+        return out
 
 
 class DenseRegNet(nn.Module):
@@ -142,16 +147,17 @@ class DenseRegNet(nn.Module):
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)
 
-            hm_out = head(j, "hm_head" + sfx)(ll, **kw)
+            hm_out = as_float(head(j, "hm_head" + sfx)(ll, **kw))
 
-            hm3_in = jnp.concatenate([ll, uvd], axis=-1)
+            hm3_in = jnp.concatenate([as_float(ll), uvd], axis=-1)
             hm3_in = res("hm3_res" + sfx, 128)(hm3_in, **kw)
-            hm3_out = head(j, "hm3_head" + sfx)(hm3_in, **kw)
+            hm3_out = as_float(head(j, "hm3_head" + sfx)(hm3_in, **kw))
 
             # um head: dual branch (plain / depth-masked) of stacked
             # residuals, concat, fuse, then two 512-wide 1x1 convs with
             # dropout (um_v1.py:143-169).
-            um_cat = jnp.concatenate([hg, hm_out, hm3_out], axis=-1)
+            um_cat = jnp.concatenate([as_float(hg), hm_out, hm3_out],
+                                     axis=-1)
             um_in = res("um_resA" + sfx, 256)(um_cat, **kw)
             um_in = res("um_resB" + sfx)(um_in, **kw)
 
@@ -159,9 +165,10 @@ class DenseRegNet(nn.Module):
             um_mask = res("umm_resA" + sfx, 256)(um_mask, **kw)
             um_mask = res("umm_resB" + sfx)(um_mask, **kw)
 
-            comb = jnp.concatenate([um_in, um_mask], axis=-1)
+            comb = jnp.concatenate([as_float(um_in), as_float(um_mask)],
+                                   axis=-1)
             comb = res("um_comb" + sfx)(comb, **kw)
-            comb = jnp.concatenate([comb, uvd], axis=-1)
+            comb = jnp.concatenate([as_float(comb), uvd], axis=-1)
 
             um_full = ConvBR(512, (1, 1), use_bn=False, activation=nn.relu,
                              dtype=dtype, quantized=c.quantize,
@@ -171,7 +178,7 @@ class DenseRegNet(nn.Module):
                              dtype=dtype, quantized=c.quantize,
                              name="um_fc2" + sfx)(um_full, **kw)
             um_full = nn.Dropout(c.dropout_rate, deterministic=not train)(um_full)
-            um_out = head(3 * j, "um_head" + sfx)(um_full, **kw)
+            um_out = as_float(head(3 * j, "um_head" + sfx)(um_full, **kw))
 
             # Emit heads in float32 — losses/decode are precision-sensitive.
             outs["hm"].append(hm_out.astype(jnp.float32))
@@ -183,6 +190,7 @@ class DenseRegNet(nn.Module):
                 tmp = jnp.concatenate([hm_out, hm3_out, um_out], axis=-1)
                 tmp = head(c.num_fea, "inter_out" + sfx)(tmp, **kw)
                 inter = head(c.num_fea, "inter_ll" + sfx)(ll, **kw)
-                hg_ins = hg_ins + tmp + inter
+                hg_ins = (as_float(hg_ins) + as_float(tmp)
+                          + as_float(inter))
 
         return outs

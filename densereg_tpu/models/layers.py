@@ -18,6 +18,46 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class QTensor:
+    """A quantized activation flowing between calibrated int8 layers.
+
+    ``f`` is the exact float result of the producing layer, ``q`` its int8
+    quantization with per-tensor scale ``s`` (the producer's calibrated
+    output absmax / 127).  Conv consumers read ``q``/``s`` directly — the
+    mathematically identical value the old consumer-side quantize would
+    have produced (same scale, same rounding) — so XLA dead-code-eliminates
+    the unused ``f`` materialization on conv->conv edges; non-conv consumers
+    (adds, concats, heads) read ``f``.  Profiling motivation: at serving
+    batch 256 the consumer-side ``clamp_convert`` quantize passes were ~25%
+    of device time because each one re-read the producer's bf16 output from
+    HBM (trace 2026-08-17).
+
+    Deliberately NOT a pytree/NamedTuple and with no operator overloads:
+    it only ever lives inside one traced ``net.apply``, and any op site
+    that hasn't been taught about it should fail loudly.
+    """
+
+    __slots__ = ("f", "q", "s")
+
+    def __init__(self, f, q, s):
+        self.f = f
+        self.q = q
+        self.s = s
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+def as_float(x):
+    """The float view of a maybe-:class:`QTensor` value."""
+    return x.f if isinstance(x, QTensor) else x
+
+
 class BatchRenorm(nn.Module):
     """Batch renormalization (Ioffe 2017) exactly as the reference's
     ``slim.ops.batch_norm`` (/root/reference/network/slim/ops.py:42-185):
@@ -151,12 +191,20 @@ class ConvBR(nn.Module):
         """int8 x int8 -> int32 conv on the MXU; dequantize + bias +
         activation in float.
 
-        Activation scale: static per-conv when the ``act_stats`` collection is
-        present (baked by :func:`densereg_tpu.models.quantize.calibrate` —
-        the serving fast path: the requantize is then a pure elementwise pass
-        XLA fuses into the surrounding ops), else dynamic per-tensor symmetric
-        max (a full-tensor reduction before every conv — correct but slow;
-        round-1 measurement: 6.3k fps vs 9.1k bf16)."""
+        Input scale: taken from the incoming :class:`QTensor` when the
+        producer already quantized (calibrated fast path — the conv reads
+        int8 straight from HBM, no consumer-side quantize pass); else static
+        per-conv when the ``act_stats`` collection carries a calibrated
+        ``amax``; else dynamic per-tensor symmetric max (a full-tensor
+        reduction before every conv — correct but slow; round-1 measurement:
+        6.3k fps vs 9.1k bf16).
+
+        Output: when calibrated (``out_amax`` present or being recorded)
+        the layer ALSO emits its own int8 quantization and returns a
+        :class:`QTensor` — producer-side quantization fuses into the conv
+        epilogue and the float output is dead-code-eliminated on
+        conv->conv edges (same scale and rounding as the consumer-side
+        quantize it replaces, so the math is unchanged)."""
         in_ch = x.shape[-1] // 1
         k_h, k_w = self.kernel
         kernel_q = self.param(
@@ -169,20 +217,23 @@ class ConvBR(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
 
-        xf = x.astype(jnp.float32)
         calibrating = self.is_mutable_collection("act_stats")
-        if calibrating or self.has_variable("act_stats", "amax"):
-            amax = self.variable("act_stats", "amax",
-                                 lambda: jnp.zeros((), jnp.float32))
-            if calibrating:
-                cur = jnp.max(jnp.abs(xf))
-                amax.value = jnp.maximum(amax.value, cur)
-                s_x = jnp.maximum(cur, 1e-8) / 127.0
-            else:
-                s_x = jnp.maximum(amax.value, 1e-8) / 127.0
+        if isinstance(x, QTensor):
+            x_q, s_x = x.q, x.s
         else:
-            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+            xf = x.astype(jnp.float32)
+            if calibrating or self.has_variable("act_stats", "amax"):
+                amax = self.variable("act_stats", "amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+                if calibrating:
+                    cur = jnp.max(jnp.abs(xf))
+                    amax.value = jnp.maximum(amax.value, cur)
+                    s_x = jnp.maximum(cur, 1e-8) / 127.0
+                else:
+                    s_x = jnp.maximum(amax.value, 1e-8) / 127.0
+            else:
+                s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x_q, kernel_q,
             window_strides=(self.stride, self.stride),
@@ -194,7 +245,29 @@ class ConvBR(nn.Module):
         y = y.astype(jnp.float32) * (s_x * scale) + bias
         if self.activation is not None:
             y = self.activation(y)
-        return y.astype(self.dtype)
+        return quantize_output(self, y, self.dtype)
+
+
+def quantize_output(mod: nn.Module, y, dtype):
+    """Producer-side activation quantization (calibrated graphs only).
+
+    Records/uses the module's own output absmax in ``act_stats/out_amax``
+    and returns a :class:`QTensor`; uncalibrated graphs keep the plain
+    float return (consumer-side quantize, unchanged behavior)."""
+    calibrating = mod.is_mutable_collection("act_stats")
+    if not (calibrating or mod.has_variable("act_stats", "out_amax")):
+        return y.astype(dtype)
+    oam = mod.variable("act_stats", "out_amax",
+                       lambda: jnp.zeros((), jnp.float32))
+    yf = y.astype(jnp.float32)
+    if calibrating:
+        cur = jnp.max(jnp.abs(yf))
+        oam.value = jnp.maximum(oam.value, cur)
+        s_y = jnp.maximum(cur, 1e-8) / 127.0
+    else:
+        s_y = jnp.maximum(oam.value, 1e-8) / 127.0
+    q_y = jnp.clip(jnp.round(yf / s_y), -127, 127).astype(jnp.int8)
+    return QTensor(y.astype(dtype), q_y, s_y)
 
 
 class Residual(nn.Module):
@@ -235,7 +308,12 @@ class Residual(nn.Module):
             s = x
         else:
             s = conv(num_out, 1, "shortcut")(x, **kw)
-        return y + s
+        out = as_float(y) + as_float(s)
+        if self.quantized:
+            # calibrated graphs re-quantize the sum here (fused into the
+            # add) so the following layer reads int8, not bf16
+            return quantize_output(self, out, self.dtype)
+        return out
 
 
 def max_pool_same(x, window: int, stride: int):
@@ -248,7 +326,14 @@ def max_pool_same(x, window: int, stride: int):
     select-and-scatter.  (Gradient tie-breaking differs on exactly-equal
     window elements — split across ties instead of first-wins — which is
     irrelevant to training.)
+
+    Max pooling commutes with monotone quantization, so a :class:`QTensor`
+    is pooled componentwise (both views, same scale) — consumers keep
+    reading whichever side they need and XLA drops the other.
     """
+    if isinstance(x, QTensor):
+        return QTensor(max_pool_same(x.f, window, stride),
+                       max_pool_same(x.q, window, stride), x.s)
     h, w = x.shape[-3], x.shape[-2]
     out_h = -(-h // stride)
     out_w = -(-w // stride)
@@ -273,7 +358,11 @@ def max_pool_same(x, window: int, stride: int):
 
 def upsample_nearest_2x(x):
     """Nearest x2 upsample (slim ``ops.upsampling_nearest``,
-    /root/reference/network/slim/ops.py:671-677)."""
+    /root/reference/network/slim/ops.py:671-677).  Pure replication, so a
+    :class:`QTensor` upsamples componentwise (same scale)."""
+    if isinstance(x, QTensor):
+        return QTensor(upsample_nearest_2x(x.f), upsample_nearest_2x(x.q),
+                       x.s)
     b = x.shape[:-3]
     h, w, c = x.shape[-3:]
     x = jnp.broadcast_to(x[..., :, None, :, None, :], b + (h, 2, w, 2, c))
