@@ -116,6 +116,27 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
     try:
         start = int(state.step)
+        # Deferred NaN guard (reference: per-step assert,
+        # /root/reference/model/train_single_gpu.py:147).  Fetching the loss
+        # synchronously every step serializes host and device — through a
+        # remote-attached TPU that round trip dominated sec/batch.  Instead
+        # step k's loss is fetched while step k+1 runs (it is checked one
+        # step late), and it is flushed synchronously before any checkpoint
+        # so a diverged state can never be saved.
+        pending_loss = None  # (step, device scalar)
+
+        def _guard(step_no, value):
+            if not np.isfinite(value):
+                raise FloatingPointError(
+                    f"Model diverged with loss = {value} at step {step_no}")
+
+        def _flush_guard():
+            nonlocal pending_loss
+            if pending_loss is not None:
+                s, dev = pending_loss
+                pending_loss = None
+                _guard(s, float(dev))
+
         for step in range(start, max_steps):
             if tcfg.profile_dir and step == tcfg.profile_start:
                 jax.profiler.start_trace(tcfg.profile_dir)
@@ -125,14 +146,20 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                 profiling = False
             batch = next(data_iter)
             rng, step_rng = jax.random.split(rng)
+            sync = (step % tcfg.log_every == 0
+                    or step % tcfg.summary_every == 0
+                    or step % tcfg.checkpoint_every == 0
+                    or step + 1 == max_steps)
             with timer:
                 state, metrics = step_fn(state, batch, step_rng)
                 grads = metrics.pop("grads", None)
-                loss = float(metrics["loss"])
-
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"Model diverged with loss = {loss} at step {step}")
+                _flush_guard()  # previous step's loss; overlaps this step
+                if sync:
+                    loss = float(metrics["loss"])
+                    _guard(step, loss)
+                else:
+                    loss = None
+                    pending_loss = (step, metrics["loss"])
 
             if step % tcfg.log_every == 0:
                 log.log_step(step, max_steps, loss, timer.last,
@@ -154,6 +181,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                           log_fn, image_writer, spec.name, events)
             if (step % tcfg.checkpoint_every == 0 or step + 1 == max_steps
                     or preempted["flag"]):
+                _flush_guard()  # never checkpoint a diverged state
                 ckpt.save(state)
             if preempted["flag"]:
                 log.write(f"[train] SIGTERM: checkpointed step "

@@ -117,6 +117,45 @@ def test_checkpoint_resume(tmp_path):
     mgr.close()
 
 
+def test_nan_guard_raises_and_never_checkpoints_diverged(tmp_path):
+    """Reference parity: per-step NaN assert
+    (/root/reference/model/train_single_gpu.py:147).  The guard is fetched
+    one step deferred (pipelining over remote-attached chips) but must
+    still raise, and a diverged state must never reach a checkpoint."""
+    import pytest
+
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    # absurd LR + no clip -> loss diverges within a few steps
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       base_dir=base_dir, init_lr=1e18,
+                       grad_clip_value=1e18, checkpoint_every=1,
+                       log_every=1000, summary_every=1000, epochs=1)
+    spec = get_dataset("synthetic", "training", directory=data_dir,
+                       num_shards=1, samples_per_shard=8)
+    with pytest.raises(FloatingPointError):
+        run_train(spec, NET, tcfg, max_steps=30, log_fn=lambda *_: None)
+    # every checkpointed step must hold finite params
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.checkpoint import CheckpointManager
+    run_dirs = glob.glob(os.path.join(base_dir, "synthetic_training_*"))
+    mgr = CheckpointManager(os.path.join(run_dirs[0], "ckpt"))
+    template = create_train_state(jax.random.key(0), NET, tcfg, 10.0)
+    restored = mgr.restore(template, -1)
+    for leaf in jax.tree_util.tree_leaves(restored.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    mgr.close()
+
+    # all-deferred cadence (no sync step): the one-step-late flush path
+    # must still raise
+    tcfg2 = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                        base_dir=str(tmp_path / "cache2"), init_lr=1e18,
+                        grad_clip_value=1e18, checkpoint_every=997,
+                        log_every=991, summary_every=983, epochs=1)
+    with pytest.raises(FloatingPointError):
+        run_train(spec, NET, tcfg2, max_steps=30, log_fn=lambda *_: None)
+
+
 def test_rotating_batches_cycles(tmp_path):
     """Validation must advance through the set across calls, not re-read the
     first batch (VERDICT r1 weak #4; the reference's sequential val queue
