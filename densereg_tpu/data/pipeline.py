@@ -55,6 +55,37 @@ def _load_frames(reader, idxs, spec: DatasetSpec):
     return depth, pose, names, bbx
 
 
+def device_prefetch(it, depth: int = 2):
+    """Lookahead wrapper: keep ``depth`` batches' device work enqueued ahead
+    of the consumer.
+
+    ``InputPipeline.__iter__`` dispatches the transfer + jitted preprocess
+    asynchronously, but the train loop only asks for batch k+1 *after* step
+    k's host-side sync points (deferred NaN-guard flush, logging) — through
+    a remote-attached TPU that ordering leaves the k+1 transfer exposed
+    instead of overlapped with step k's compute.  Pulling eagerly restores
+    the overlap; on locally-attached chips it is simply a small pipeline
+    depth.  (The reference gets the same effect from its input queue
+    runners, /root/reference/data/dataset_base.py:164-193.)
+    """
+    from collections import deque
+
+    it = iter(it)
+    buf = deque()
+    try:
+        for _ in range(max(depth, 1)):
+            buf.append(next(it))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 class InputPipeline:
     """Shuffled, endless training pipeline.
 

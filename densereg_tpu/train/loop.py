@@ -19,7 +19,11 @@ import numpy as np
 
 from densereg_tpu.config import EvalConfig, NetConfig, TrainConfig, model_desc
 from densereg_tpu.data.base import DatasetSpec
-from densereg_tpu.data.pipeline import InputPipeline, TestPipeline
+from densereg_tpu.data.pipeline import (
+    InputPipeline,
+    TestPipeline,
+    device_prefetch,
+)
 from densereg_tpu.eval.loop import evaluate_stream, make_infer_fn
 from densereg_tpu.train.checkpoint import CheckpointManager
 from densereg_tpu.train.state import create_train_state
@@ -97,7 +101,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
 
     samples_per_step = tcfg.batch_size * tcfg.sub_batch
     timer = StepTimer()
-    data_iter = iter(pipeline)
+    data_iter = device_prefetch(iter(pipeline), depth=2)
     profiling = False
 
     # Preemption handling the reference lacks (SURVEY.md §5 "failure

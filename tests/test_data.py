@@ -171,3 +171,25 @@ def test_pipeline_rejects_indivisible_multihost_batch(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="not divisible"):
         InputPipeline(spec, batch_size=4, sub_batch=1, input_hw=(32, 32),
                       mesh=make_mesh())
+
+
+def test_device_prefetch_preserves_order_and_exhaustion():
+    from densereg_tpu.data.pipeline import device_prefetch
+
+    assert list(device_prefetch(iter(range(7)), depth=3)) == list(range(7))
+    assert list(device_prefetch(iter(range(2)), depth=4)) == [0, 1]
+    assert list(device_prefetch(iter([]), depth=2)) == []
+
+    # laziness: exactly `depth` items pulled ahead of the consumer
+    pulled = []
+
+    def gen():
+        for i in range(10):
+            pulled.append(i)
+            yield i
+
+    it = device_prefetch(gen(), depth=2)
+    assert next(it) == 0
+    assert pulled == [0, 1, 2]
+    assert next(it) == 1
+    assert pulled == [0, 1, 2, 3]
