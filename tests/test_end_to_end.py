@@ -117,6 +117,43 @@ def test_checkpoint_resume(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
+def test_cli_export_roundtrip(tmp_path):
+    """CLI deployment path: train -> `export` subcommand -> load the
+    artifact in-process -> outputs match the live Predictor."""
+    from densereg_tpu.cli.main import main as cli_main
+    from densereg_tpu.config import NetConfig
+    from densereg_tpu.export import load_exported
+    from densereg_tpu.serving import Predictor
+
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    common = ["--dataset", "synthetic", "--data_dir", data_dir,
+              "--num_stack", "1", "--num_fea", "8", "--base_dir", base_dir,
+              "--batch_size", "2", "--sub_batch", "1",
+              "--compute_dtype", "float32", "--no-mesh"]
+    assert cli_main(["convert", "--dataset", "synthetic",
+                     "--subset", "training", "--data_dir", data_dir]) == 0
+    assert cli_main(["train", *common, "--max_steps", "1"]) == 0
+    out = str(tmp_path / "m.drexpt")
+    assert cli_main(["export", *common, "--platforms", "cpu",
+                     "--out", out]) == 0
+
+    loaded = load_exported(out)
+    assert loaded.max_batch == 2 and loaded.num_joint == 16
+
+    net = NetConfig(num_stack=1, num_fea=8, num_joint=16)
+    from densereg_tpu.data.base import get_dataset
+    spec = get_dataset("synthetic", "testing", directory=data_dir)
+    run_dirs = glob.glob(os.path.join(base_dir, "synthetic_training_*"))
+    pred = Predictor.from_checkpoint(run_dirs[0], net, spec.cfg,
+                                     max_batch=2)
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(300, 500, (2, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (2, 1))
+    np.testing.assert_array_equal(pred(frames, bbxs), loaded(frames, bbxs))
+
+
 def test_nan_guard_raises_and_never_checkpoints_diverged(tmp_path):
     """Reference parity: per-step NaN assert
     (/root/reference/model/train_single_gpu.py:147).  The guard is fetched
