@@ -229,6 +229,11 @@ def main(argv=None):
     ap.add_argument("--net", default="um_v1")
     ap.add_argument("--quant", action="store_true",
                     help="report the calibrated int8 serving programs")
+    ap.add_argument("--train_batch", type=int, default=40)
+    ap.add_argument("--sub_batch", type=int, default=5,
+                    help="use 1 (with --train_batch scaled up) for an "
+                         "accurate train cost analysis: lax.scan bodies "
+                         "are counted once regardless of trip count")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args(argv)
 
@@ -241,6 +246,8 @@ def main(argv=None):
     rows = []
     for name, step, x0, int8 in build_programs(args.batch, args.dtype,
                                                args.train,
+                                               train_batch=args.train_batch,
+                                               sub_batch=args.sub_batch,
                                                num_stack=args.num_stack,
                                                num_fea=args.num_fea,
                                                net_module=args.net,
