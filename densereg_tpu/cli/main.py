@@ -204,7 +204,8 @@ def cmd_export(args) -> int:
     train_dir = os.path.join(args.base_dir, desc)
     pred = Predictor.from_checkpoint(
         train_dir, net, test_spec.cfg, step=args.selected_step,
-        max_batch=args.batch_size, quantize=args.quantize)
+        max_batch=args.batch_size, quantize=args.quantize,
+        use_ema=args.use_ema, ema_decay=args.ema_decay)
     out = args.out or f"{desc}.drexpt"
     export_predictor(pred, out, platforms=tuple(args.platforms.split(",")))
     print(f"[export] wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
@@ -270,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="-1 = latest checkpoint")
     px.add_argument("--quantize", action="store_true",
                     help="export the int8-weight serving graph")
+    px.add_argument("--use_ema", action="store_true",
+                    help="export the EMA weights (run trained with "
+                         "--ema_decay)")
+    px.add_argument("--ema_decay", type=float, default=None)
     px.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets")
     px.add_argument("--out", default=None,

@@ -110,19 +110,33 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, train_dir: str, net_cfg: NetConfig,
                         camera: CameraConfig, step: Optional[int] = -1,
+                        use_ema: bool = False,
+                        ema_decay: Optional[float] = None,
                         **kwargs) -> "Predictor":
+        """``use_ema`` serves the exponential-moving-average weights
+        (requires a run trained with ``TrainConfig.ema_decay``; pass the
+        same ``ema_decay`` so the restore template matches)."""
         import os
 
         from densereg_tpu.config import TrainConfig
         from densereg_tpu.train.checkpoint import CheckpointManager
         from densereg_tpu.train.state import create_train_state
 
-        state = create_train_state(jax.random.key(0), net_cfg, TrainConfig(),
+        tcfg = TrainConfig() if ema_decay is None else \
+            TrainConfig(ema_decay=ema_decay)
+        state = create_train_state(jax.random.key(0), net_cfg, tcfg,
                                    steps_per_epoch=1.0)
         mgr = CheckpointManager(os.path.join(train_dir, "ckpt"))
         state = mgr.restore(state, step)
         mgr.close()
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = state.params
+        if use_ema:
+            if state.ema_params is None:
+                raise ValueError(
+                    "checkpoint has no EMA weights; train with --ema_decay "
+                    "and pass ema_decay= here")
+            params = state.ema_params
+        variables = {"params": params, "batch_stats": state.batch_stats}
         return cls(variables, net_cfg, camera, **kwargs)
 
     @classmethod

@@ -339,3 +339,16 @@ def test_ema_weights_evaluation(tmp_path):
         run_test(val, NET, no_ema, EvalConfig(batch_size=4),
                  selected_step=-1, train_spec=spec, use_ema=True,
                  log_fn=lambda *_: None)
+
+    # deployment parity: Predictor.from_checkpoint serves the same choice
+    from densereg_tpu.serving import Predictor
+    run_dirs = glob.glob(os.path.join(base_dir, "synthetic_training_*"))
+    raw = Predictor.from_checkpoint(run_dirs[0], NET, val.cfg, max_batch=2)
+    ema = Predictor.from_checkpoint(run_dirs[0], NET, val.cfg, max_batch=2,
+                                    use_ema=True, ema_decay=0.5)
+    frames = np.full((1, 240, 320), 400.0, np.float32)
+    bbxs = np.array([[60, 80, 200, 260, 600]], np.float32)
+    assert not np.array_equal(raw(frames, bbxs), ema(frames, bbxs))
+    with pytest.raises(ValueError, match="no EMA weights"):
+        Predictor.from_checkpoint(run_dirs[0], NET, val.cfg, max_batch=2,
+                                  use_ema=True)
