@@ -17,6 +17,7 @@ program for both targets by default so one artifact serves either.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import struct
 from typing import Optional, Sequence
@@ -51,19 +52,21 @@ def export_predictor(predictor, path: str,
     exported = jexp.export(fn, platforms=tuple(platforms))(
         jax.ShapeDtypeStruct((b, h, w, 1), np.float32),
         jax.ShapeDtypeStruct((b, 5), np.float32))
+    blob = bytes(exported.serialize())
     header = {
         "max_batch": b,
         "frame_hw": [h, w],
         "num_joint": int(predictor.net_cfg.num_joint),
         "camera": list(np.asarray(cam.as_array(), np.float64)),
         "platforms": list(platforms),
+        "sha256": hashlib.sha256(blob).hexdigest(),
     }
     hdr = json.dumps(header).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack(">I", len(hdr)))
         f.write(hdr)
-        f.write(exported.serialize())
+        f.write(blob)
 
 
 class ExportedPredictor:
@@ -121,4 +124,11 @@ def load_exported(path: str) -> ExportedPredictor:
         (hlen,) = struct.unpack(">I", f.read(4))
         header = json.loads(f.read(hlen).decode())
         blob = f.read()
+    want = header.get("sha256")
+    if want is not None:
+        got = hashlib.sha256(blob).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"{path}: artifact corrupted (sha256 {got[:12]}… != "
+                f"header {want[:12]}…)")
     return ExportedPredictor(jexp.deserialize(bytearray(blob)), header)

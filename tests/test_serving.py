@@ -58,13 +58,19 @@ def test_export_roundtrip_matches_live_predictor(rng, tmp_path):
                                   loaded(frames9, bbxs9))
 
     # header validation
+    import pytest
     bad = tmp_path / "bad.drexpt"
     bad.write_bytes(b"NOTDREXP" + b"\0" * 16)
-    try:
+    with pytest.raises(ValueError, match="not a densereg export"):
         load_exported(str(bad))
-        assert False, "expected ValueError"
-    except ValueError:
-        pass
+
+    # integrity: a flipped byte in the blob is caught by the sha256 check
+    raw = bytearray(open(path, "rb").read())
+    raw[-10] ^= 0xFF
+    corrupt = tmp_path / "corrupt.drexpt"
+    corrupt.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="corrupted"):
+        load_exported(str(corrupt))
 
 
 def test_predictor_uint16_request_matches_float32(rng):
