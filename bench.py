@@ -20,6 +20,12 @@ available the stored constant from exp/cpu_baseline.json is used.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+On accelerators the object also carries secondary metrics (VERDICT r2
+item 6; BENCH_TRAIN=0 / BENCH_EVAL=0 disable):
+  "train_samples_per_sec" — train step at the reference 40x5 config;
+  "eval_loop_fps" — streaming host-fed eval loop (transfer-bound through
+  a remote-attached chip; compare only against other host-loop numbers).
 """
 
 from __future__ import annotations
@@ -118,7 +124,73 @@ def _measure(device, batch, compute_dtype, iters=10, warmup=2,
             cur, xyz = chained(variables, cur, cfgs, coms)
         float(jnp.sum(xyz))  # fences the whole chain
         dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * iters / dt, (infer, variables, cfgs, coms)
+
+
+def _measure_train(device, iters=5):
+    """Train-step samples/s at the reference config (batch 40 x sub_batch 5,
+    augmented, bf16); iterations chain through the carried TrainState."""
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu import geometry
+    from densereg_tpu.config import CameraConfig, NetConfig, TrainConfig
+    from densereg_tpu.train import create_train_state, make_train_step
+
+    with jax.default_device(device):
+        net_cfg = NetConfig(num_stack=2, num_fea=128, num_joint=16,
+                            input_hw=(128, 128), compute_dtype="bfloat16")
+        tcfg = TrainConfig(batch_size=40, sub_batch=5, augment=True)
+        state = create_train_state(jax.random.key(0), net_cfg, tcfg, 1e6)
+        step_fn = make_train_step(net_cfg, tcfg, donate=False)
+        rng = np.random.default_rng(0)
+        sub, bb = tcfg.sub_batch, tcfg.batch_size
+        icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120,
+                            w=320, h=240)
+        cfg128 = geometry.scale_cfg(jnp.asarray(icvl.as_array()), 128, 128)
+        poses = np.zeros((sub, bb, 16, 3), np.float32)
+        poses[..., 0] = rng.uniform(-40, 40, (sub, bb, 16))
+        poses[..., 1] = rng.uniform(-40, 40, (sub, bb, 16))
+        poses[..., 2] = rng.uniform(360, 440, (sub, bb, 16))
+        batch = {
+            "dm": jnp.asarray(rng.uniform(300, 500, (sub, bb, 128, 128, 1))
+                              .astype(np.float32)),
+            "pose": jnp.asarray(poses.reshape(sub, bb, -1)),
+            "cfg": jnp.tile(cfg128[None, None], (sub, bb, 1)),
+            "com": jnp.asarray(poses.mean(axis=2)),
+        }
+        key = jax.random.key(1)
+        s, _ = step_fn(state, batch, key)
+        float(s.renorm_t)  # warm compile + fence
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(iters):
+            s, _ = step_fn(s, batch, key)
+        float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
+        dt = (time.perf_counter() - t0) / iters
+    return sub * bb / dt
+
+
+def _measure_eval_loop(infer, variables, cfgs, coms, batch, n_batches=4):
+    """Streaming eval-loop fps: fresh PRE-GENERATED host batches transferred
+    each iteration through the already-compiled serving program, dispatched
+    with one batch in flight (the double-buffered eval pattern).  On a
+    remote-attached chip this is transfer-bound and relay-dependent; the
+    value is comparable only to other host-loop numbers (BASELINE.md)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    host = [rng.uniform(300.0, 500.0, (batch, 128, 128, 1))
+            .astype(np.float32) for _ in range(n_batches)]
+    out = infer(variables, jnp.asarray(host[0]), cfgs, coms)
+    float(jnp.sum(out))  # fence warmup
+    t0 = time.perf_counter()
+    last = None
+    for h in host:
+        last = infer(variables, jnp.asarray(h), cfgs, coms)
+    float(jnp.sum(last))  # device executes in order -> fences every batch
+    dt = time.perf_counter() - t0
+    return batch * n_batches / dt
 
 
 def main():
@@ -138,18 +210,35 @@ def main():
         if quant:
             attempts.append((False, True))
         attempts.append((False, False))
-    value = None
+    value, ctx = None, None
     for q, pallas in attempts:
         try:
-            value = _measure(dev, BATCH if on_accel else CPU_BATCH,
-                             "bfloat16" if on_accel else "float32",
-                             iters=30 if on_accel else 2,
-                             use_pallas=pallas, quant=q)
+            value, ctx = _measure(dev, BATCH if on_accel else CPU_BATCH,
+                                  "bfloat16" if on_accel else "float32",
+                                  iters=30 if on_accel else 2,
+                                  use_pallas=pallas, quant=q)
             mode = "int8" if q else ("bfloat16" if on_accel else "float32")
             break
         except Exception:
             if (q, pallas) == attempts[-1]:
                 raise
+
+    # secondary metrics (VERDICT r2 item 6): train-step samples/s and the
+    # streaming eval-loop fps, emitted as extra keys on the same JSON object
+    # (the primary metric/value/unit/vs_baseline contract is unchanged).
+    # Default on for accelerators; BENCH_TRAIN=0 / BENCH_EVAL=0 disable.
+    extras = {}
+    if on_accel and os.environ.get("BENCH_EVAL", "1") == "1" and ctx:
+        try:
+            extras["eval_loop_fps"] = round(
+                _measure_eval_loop(ctx[0], ctx[1], ctx[2], ctx[3], BATCH), 2)
+        except Exception:
+            pass
+    if on_accel and os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            extras["train_samples_per_sec"] = round(_measure_train(dev), 2)
+        except Exception:
+            pass
 
     cpu_fps = None
     if os.path.exists(BASELINE_FILE) and not os.environ.get(
@@ -173,6 +262,7 @@ def main():
         "value": round(value, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2),
+        **extras,
     }))
 
 

@@ -199,10 +199,22 @@ class TestPipeline:
 
     def __init__(self, spec: DatasetSpec, batch_size: int,
                  input_hw=(128, 128), mesh=None):
+        import jax
+
         self.spec = spec
         self.batch_size = batch_size
         self.input_hw = input_hw
         self.mesh = mesh
+        # The eval path is single-controller: every host would emit the FULL
+        # global batch, so shard_batch's multi-host assembly would build a
+        # duplicated, num_hosts-times-oversized array.  Multi-host is
+        # train-only (InputPipeline partitions shards per host); eval runs
+        # in one process.
+        if mesh is not None and jax.process_count() > 1:
+            raise NotImplementedError(
+                "TestPipeline does not partition input across hosts; "
+                "run evaluation in a single process (multi-host sharding "
+                "is train-only — see InputPipeline/partition_for_host)")
 
     def __iter__(self) -> Iterator[dict]:
         h, w = self.input_hw

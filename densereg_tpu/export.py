@@ -102,6 +102,8 @@ class ExportedPredictor:
         if frames.ndim == 3:
             frames = frames[..., None]
         b = frames.shape[0]
+        if b == 0:
+            return np.zeros((0, 3 * self.num_joint), np.float32)
         out, pending = [], None
         for i in range(0, b, self.max_batch):
             chunk = frames[i:i + self.max_batch]

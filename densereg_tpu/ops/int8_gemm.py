@@ -16,8 +16,10 @@ this kernel computes
 in ONE pass: int8 in, int8 (and optionally float) out — the bf16
 intermediate and its separate clamp_convert pass never touch HBM.
 
-Used by ``ConvBR._quantized_call`` for 1x1/stride-1 convs with
-tile-aligned channel counts; everything else keeps the XLA path.
+Candidate for ``ConvBR._quantized_call`` (1x1/stride-1 convs with
+tile-aligned channel counts) — measured SLOWER than XLA's conv lowering
+inside the model and left unwired; kept as a tested engineering record.
+See BASELINE.md "where the remaining 40% goes".
 """
 
 from __future__ import annotations

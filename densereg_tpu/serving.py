@@ -177,6 +177,8 @@ class Predictor:
         if frames.ndim == 3:
             frames = frames[..., None]
         b = frames.shape[0]
+        if b == 0:
+            return np.zeros((0, 3 * self.net_cfg.num_joint), np.float32)
         out, pending = [], None
         for i in range(0, b, self.max_batch):
             chunk = frames[i:i + self.max_batch]

@@ -4,7 +4,11 @@ from densereg_tpu.train.state import (
     loss_fn,
     weight_decay_loss,
 )
-from densereg_tpu.train.step import make_train_step, train_step_single
+from densereg_tpu.train.step import (
+    make_fused_train_step,
+    make_train_step,
+    train_step_single,
+)
 from densereg_tpu.train.lr import staircase_exponential_decay
 
 __all__ = [
@@ -12,6 +16,7 @@ __all__ = [
     "create_train_state",
     "loss_fn",
     "weight_decay_loss",
+    "make_fused_train_step",
     "make_train_step",
     "train_step_single",
     "staircase_exponential_decay",

@@ -10,6 +10,7 @@ reference's ``-1`` meaning "downloaded pretrained" maps to "latest").
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -18,6 +19,8 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from densereg_tpu.train.state import TrainState
+
+log = logging.getLogger(__name__)
 
 
 class CheckpointManager:
@@ -46,6 +49,26 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def _ema_on_disk(self, step: int) -> Optional[bool]:
+        """Whether checkpoint ``step`` contains an ``ema_params`` subtree,
+        probed from the saved item structure (None when undeterminable, e.g.
+        an orbax version whose metadata does not expose the tree)."""
+        try:
+            meta = self._mgr.item_metadata(step)
+        except Exception:
+            return None
+        for cand in (meta, getattr(meta, "tree", None),
+                     getattr(meta, "item_metadata", None)):
+            if isinstance(cand, dict):
+                return "ema_params" in cand
+            keys = getattr(cand, "keys", None)
+            if callable(keys):
+                try:
+                    return "ema_params" in set(keys())
+                except Exception:
+                    continue
+        return None
+
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> TrainState:
         """Restore into the structure of ``state`` (template must match);
@@ -61,19 +84,25 @@ class CheckpointManager:
             "step": np.asarray(state.step),
             "renorm_t": np.asarray(state.renorm_t),
         }
-        if state.ema_params is not None:
-            template["ema_params"] = state.ema_params
+        want_ema = state.ema_params is not None
         # Reconcile EMA presence with what's actually on disk: a no-EMA eval
         # template can restore an EMA checkpoint (the shadows are read into
         # a params-shaped slot and discarded), and an EMA template restoring
-        # a no-EMA checkpoint simply gets no shadows.  Orbax enforces exact
-        # tree match, so on an ema_params mismatch we flip the template's
-        # ema slot and retry once.
+        # a no-EMA checkpoint re-seeds the shadows from the restored params
+        # (an "EMA restart") rather than silently disabling EMA tracking.
+        # Orbax enforces exact tree match, so the saved item structure is
+        # probed first; the exception-text retry remains only as a fallback
+        # for orbax versions whose metadata hides the tree.
+        on_disk = self._ema_on_disk(step)
+        if on_disk is True and not want_ema:
+            template["ema_params"] = state.params
+        elif (on_disk is None or on_disk is True) and want_ema:
+            template["ema_params"] = state.ema_params
         try:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         except ValueError as e:
-            if "ema_params" not in str(e):
+            if on_disk is not None or "ema_params" not in str(e):
                 raise
             if "ema_params" in template:
                 template.pop("ema_params")
@@ -81,15 +110,24 @@ class CheckpointManager:
                 template["ema_params"] = state.params
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
-        keep_ema = (state.ema_params is not None
-                    and "ema_params" in restored)
+        if want_ema:
+            if "ema_params" in restored:
+                ema = restored["ema_params"]
+            else:
+                log.warning(
+                    "checkpoint step %s has no ema_params; re-seeding the "
+                    "EMA shadows from the restored params (EMA restart — "
+                    "the moving average begins again from this point)", step)
+                ema = restored["params"]
+        else:
+            ema = None
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
             renorm_t=jax.numpy.asarray(restored["renorm_t"]),
-            ema_params=restored["ema_params"] if keep_ema else None,
+            ema_params=ema,
         )
 
     def close(self):

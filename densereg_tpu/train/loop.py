@@ -218,10 +218,20 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
 
 
 def rotating_batches(pipeline):
-    """Endless batch stream cycling through a (restartable) pipeline."""
+    """Endless batch stream cycling through a (restartable) pipeline.
+
+    Raises instead of busy-spinning if a full pass yields nothing (an
+    empty/misconfigured validation split would otherwise hang training at
+    the first ``validate_every`` step)."""
     while True:
+        empty = True
         for batch in pipeline:
+            empty = False
             yield batch
+        if empty:
+            raise RuntimeError(
+                "validation pipeline yielded no batches — empty or "
+                "misconfigured val split (need >= one full batch)")
 
 
 def _tree_tags(tree):

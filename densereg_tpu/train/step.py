@@ -166,3 +166,58 @@ def make_train_step(net_cfg: NetConfig, tcfg: TrainConfig, mesh=None,
         return new_state, metrics
 
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(net_cfg: NetConfig, tcfg: TrainConfig, cam_cfg,
+                          fixed_bg_threshold=None, mesh=None,
+                          donate: bool = True):
+    """One jitted program from RAW frames to the updated state: crop /
+    center-of-mass / normalization (densereg_tpu.preprocess) fused with the
+    accumulating train step — a single host->device dispatch per batch
+    instead of preprocess + step (the reference overlaps these with queue
+    runners, /root/reference/data/dataset_base.py:164-193).
+
+    Signature of the returned fn: ``(state, frames, poses, rng)`` with
+    ``frames (sub*batch, H, W, 1)`` raw depth (uint16 or float32 mm) and
+    ``poses (sub*batch, 3J)``.  Semantically identical to running
+    ``preprocess_batch_from_pose`` then the plain train step on the
+    reshaped result (pinned by tests/test_train.py); the win is dispatch /
+    transfer-overlap behavior on remote-attached chips (BASELINE.md
+    records the measurement).
+    """
+    from densereg_tpu.preprocess import preprocess_batch_from_pose
+
+    h, w = net_cfg.input_hw
+    cam_cfg = jnp.asarray(cam_cfg, jnp.float32)
+    step = functools.partial(train_step_single, net_cfg=net_cfg, tcfg=tcfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        raw_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        batch_sharding = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+
+    def fused(state, frames, poses, rng):
+        if mesh is not None:
+            frames = jax.lax.with_sharding_constraint(frames, raw_sharding)
+            poses = jax.lax.with_sharding_constraint(poses, raw_sharding)
+        dm, pose, cfgs, coms = preprocess_batch_from_pose(
+            frames, poses, cam_cfg, h, w, fixed_bg_threshold)
+        sub = tcfg.sub_batch
+        batch = {
+            "dm": dm.reshape(sub, -1, h, w, 1),
+            "pose": pose.reshape(sub, pose.shape[0] // sub, pose.shape[-1]),
+            "cfg": cfgs.reshape(sub, -1, 6),
+            "com": coms.reshape(sub, -1, 3),
+        }
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree.map(lambda _: batch_sharding, batch))
+        new_state, metrics = step(state, batch, rng)
+        if mesh is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, jax.tree.map(lambda _: replicated, new_state))
+        return new_state, metrics
+
+    return jax.jit(fused, donate_argnums=(0,) if donate else ())

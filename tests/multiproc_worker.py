@@ -1,0 +1,118 @@
+"""Worker process for tests/test_multiprocess.py (not collected by pytest).
+
+Each worker joins a 2-process ``jax.distributed`` cluster on the CPU
+backend (4 virtual devices per process -> 8 global devices), then:
+
+1. reports ``partition_for_host`` output for disjointness checks,
+2. assembles a deterministic global batch from its LOCAL slice through
+   ``parallel.mesh.shard_batch``'s ``make_array_from_process_local_data``
+   branch and checksums it on-device,
+3. pulls one batch through ``data.pipeline.InputPipeline``'s multi-host
+   shard-partitioning branch,
+4. runs ONE sharded train step and dumps the (replicated) updated params.
+
+The parent test compares everything against a single-process run.
+SURVEY.md §5 "distributed communication backend"; VERDICT r2 item 3.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    coord = sys.argv[3]
+    outdir = sys.argv[4]
+    data_dir = sys.argv[5]
+
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.process_index() == pid
+    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == 4 * nproc
+
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    from densereg_tpu.config import NetConfig, TrainConfig
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import InputPipeline, partition_for_host
+    from densereg_tpu.parallel import make_mesh, shard_batch
+    from densereg_tpu.train import create_train_state, make_train_step
+    from tests.test_train import make_batch
+
+    report = {}
+
+    # (a) disjoint shard partitioning
+    shards = [f"shard-{i:02d}" for i in range(10)]
+    report["partition"] = partition_for_host(shards, jax.process_index(),
+                                             jax.process_count())
+
+    # (b) global-batch assembly from process-local slices
+    NET = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+    TCFG = TrainConfig(batch_size=8, sub_batch=2, augment=False)
+    mesh = make_mesh()
+    gbatch = make_batch(np.random.default_rng(42), TCFG.sub_batch,
+                        TCFG.batch_size)
+    lo = pid * (TCFG.batch_size // nproc)
+    hi = lo + TCFG.batch_size // nproc
+    local = jax.tree.map(lambda x: np.asarray(x)[:, lo:hi], gbatch)
+    dbatch = shard_batch(local, mesh, batch_dim=1)
+    assert dbatch["dm"].shape == (TCFG.sub_batch, TCFG.batch_size, 32, 32, 1)
+    assert len(dbatch["dm"].addressable_shards) == 4
+
+    # order-sensitive checksum over the GLOBAL array: weighting by a batch-
+    # index ramp detects any slice misplacement, not just missing data
+    def checksum(tree):
+        total = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(tree):
+            ramp = (jnp.arange(leaf.shape[1], dtype=jnp.float32) + 1.0)
+            ramp = ramp.reshape((1, -1) + (1,) * (leaf.ndim - 2))
+            total = total + jnp.sum(leaf.astype(jnp.float32) * ramp)
+        return total
+
+    report["checksum"] = float(jax.jit(checksum)(dbatch))
+
+    # (c) InputPipeline's multi-host branch: disjoint shard reading + the
+    # per-process local slice assembling into one global array
+    spec = get_dataset("synthetic", "training", directory=data_dir,
+                       num_shards=4, samples_per_shard=8)
+    pipe = InputPipeline(spec, batch_size=8, sub_batch=1, input_hw=(32, 32),
+                         seed=0, mesh=mesh)
+    assert pipe.local_batch == 8 // nproc
+    pbatch = next(iter(pipe))
+    assert pbatch["dm"].shape == (1, 8, 32, 32, 1), pbatch["dm"].shape
+    assert pbatch["pose"].shape[1] == 8
+    pipe.close()
+    report["pipeline_global_shape"] = list(pbatch["dm"].shape)
+
+    # (d) one sharded train step; params stay replicated -> every process
+    # can dump them for the parent's parity check
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    tx = optax.sgd(1.0)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    step = make_train_step(NET, TCFG, mesh=mesh, donate=False)
+    s2, m2 = step(state, dbatch, jax.random.key(7))
+    report["loss"] = float(m2["loss"])
+
+    leaves = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(s2.params):
+        leaves[jax.tree_util.keystr(path)] = np.asarray(leaf)
+    np.savez(os.path.join(outdir, f"params_{pid}.npz"), **leaves)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(s2.batch_stats):
+        leaves[jax.tree_util.keystr(path)] = np.asarray(leaf)
+    np.savez(os.path.join(outdir, f"state_{pid}.npz"), **leaves)
+
+    with open(os.path.join(outdir, f"report_{pid}.json"), "w") as f:
+        json.dump(report, f)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -307,6 +307,84 @@ def test_checkpoint_retention(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_ema_cross_restore(tmp_path, caplog):
+    """EMA presence mismatches between template and disk resolve safely:
+    an EMA template over a no-EMA checkpoint RE-SEEDS the shadows from the
+    restored params (with a loud warning) instead of silently disabling
+    EMA tracking; a no-EMA template over an EMA checkpoint discards the
+    shadows (ADVICE r2, checkpoint.py)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.checkpoint import CheckpointManager
+
+    plain_cfg = TrainConfig(batch_size=2, sub_batch=1)
+    ema_cfg = TrainConfig(batch_size=2, sub_batch=1, ema_decay=0.5)
+    plain = create_train_state(jax.random.key(0), NET, plain_cfg, 10.0)
+    ema = create_train_state(jax.random.key(1), NET, ema_cfg, 10.0)
+    assert plain.ema_params is None and ema.ema_params is not None
+
+    # no-EMA checkpoint -> EMA template: re-seed from restored params
+    mgr = CheckpointManager(str(tmp_path / "a"))
+    mgr.save(plain.replace(step=jnp.asarray(7, jnp.int32)))
+    with caplog.at_level(logging.WARNING,
+                         logger="densereg_tpu.train.checkpoint"):
+        got = mgr.restore(ema)
+    mgr.close()
+    assert got.ema_params is not None
+    for e, p in zip(jax.tree_util.tree_leaves(got.ema_params),
+                    jax.tree_util.tree_leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+    assert any("re-seeding" in r.message for r in caplog.records)
+    # later checkpoints keep the (restarted) shadows
+    mgr = CheckpointManager(str(tmp_path / "a"))
+    mgr.save(got.replace(step=jnp.asarray(8, jnp.int32)))
+    got2 = mgr.restore(ema, step=8)
+    assert got2.ema_params is not None
+    mgr.close()
+
+    # EMA checkpoint -> no-EMA template: shadows read + discarded
+    mgr = CheckpointManager(str(tmp_path / "b"))
+    mgr.save(ema.replace(step=jnp.asarray(3, jnp.int32)))
+    got3 = mgr.restore(plain)
+    mgr.close()
+    assert got3.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(got3.params),
+                    jax.tree_util.tree_leaves(ema.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_predictor_empty_request(tmp_path):
+    """A zero-frame request returns an empty (0, 3J) array instead of
+    raising (ADVICE r2, serving.py)."""
+    from densereg_tpu.serving import Predictor
+    from densereg_tpu.train import create_train_state
+
+    spec = get_dataset("synthetic", "testing",
+                       directory=str(tmp_path / "d"), num_shards=1,
+                       samples_per_shard=2)
+    state = create_train_state(jax.random.key(0), NET,
+                               TrainConfig(batch_size=2, sub_batch=1), 10.0)
+    pred = Predictor({"params": state.params,
+                      "batch_stats": state.batch_stats}, NET, spec.cfg,
+                     max_batch=2)
+    out = pred(np.zeros((0, 240, 320), np.float32),
+               np.zeros((0, 5), np.float32))
+    assert out.shape == (0, 3 * NET.num_joint)
+    assert out.dtype == np.float32
+
+
+def test_rotating_batches_empty_pipeline_raises():
+    """An empty validation pipeline raises instead of busy-spinning
+    (ADVICE r2, train/loop.py)."""
+    from densereg_tpu.train.loop import rotating_batches
+
+    with pytest.raises(RuntimeError, match="no batches"):
+        next(rotating_batches([]))
+
+
 @pytest.mark.slow
 def test_ema_weights_evaluation(tmp_path):
     """--use_ema evaluates the EMA shadow weights (the reference defines the

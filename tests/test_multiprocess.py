@@ -1,0 +1,143 @@
+"""Multi-process (multi-host) correctness: 2 subprocess workers, each with
+4 virtual CPU devices, joined via ``jax.distributed.initialize`` into one
+8-device cluster (VERDICT r2 item 3; SURVEY.md §5 distributed backend).
+
+Asserts (against the workers' reports):
+(a) ``partition_for_host`` gives disjoint, covering shard splits,
+(b) ``make_array_from_process_local_data`` assembles the SAME global batch
+    a single process would (order-sensitive checksum parity),
+(c) one multi-process train step matches the single-process step to the
+    established float32 noise floor (see tests/test_parallel.py for the
+    tolerance calibration),
+and that the ``process_count() > 1`` branches of ``parallel/mesh.py`` and
+``data/pipeline.py`` actually executed (the workers assert the global
+shapes those branches produce).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from densereg_tpu.config import NetConfig, TrainConfig
+from densereg_tpu.train import create_train_state, make_train_step
+from tests.test_train import make_batch
+
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+TCFG = TrainConfig(batch_size=8, sub_batch=2, augment=False)
+NPROC = 2
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_runs(tmp_path_factory):
+    outdir = tmp_path_factory.mktemp("mp")
+    data_dir = str(outdir / "data")
+    # pre-generate the dataset so workers don't race on shard writing
+    from densereg_tpu.data.base import get_dataset
+
+    get_dataset("synthetic", "training", directory=data_dir, num_shards=4,
+                samples_per_shard=8)
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": env.get("JAX_COMPILATION_CACHE_DIR",
+                                             "/tmp/jax_cache"),
+        "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "multiproc_worker.py"),
+             str(pid), str(NPROC), coord, str(outdir), data_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(NPROC)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    reports = []
+    for pid in range(NPROC):
+        with open(outdir / f"report_{pid}.json") as f:
+            reports.append(json.load(f))
+    return outdir, reports
+
+
+def test_partition_disjoint_and_covering(worker_runs):
+    _, reports = worker_runs
+    parts = [set(r["partition"]) for r in reports]
+    assert parts[0] & parts[1] == set()
+    assert parts[0] | parts[1] == {f"shard-{i:02d}" for i in range(10)}
+
+
+def test_global_batch_assembly_matches_single_process(worker_runs):
+    """The distributed processes' order-sensitive checksum over the
+    assembled global batch equals the checksum of the full batch computed
+    here in one process."""
+    _, reports = worker_runs
+    gbatch = make_batch(np.random.default_rng(42), TCFG.sub_batch,
+                        TCFG.batch_size)
+
+    total = jnp.float32(0.0)
+    for leaf in jax.tree_util.tree_leaves(gbatch):
+        ramp = (jnp.arange(leaf.shape[1], dtype=jnp.float32) + 1.0)
+        ramp = ramp.reshape((1, -1) + (1,) * (leaf.ndim - 2))
+        total = total + jnp.sum(leaf.astype(jnp.float32) * ramp)
+    want = float(total)
+    for r in reports:
+        np.testing.assert_allclose(r["checksum"], want, rtol=1e-5)
+
+
+def test_pipeline_multihost_branch_executed(worker_runs):
+    _, reports = worker_runs
+    for r in reports:
+        assert r["pipeline_global_shape"] == [1, 8, 32, 32, 1]
+
+
+def test_train_step_matches_single_process(worker_runs):
+    """Same state, same global batch: the 2-process 8-device step's params
+    match the single-process single-device step within the measured float32
+    reduction-order noise floor (tests/test_parallel.py calibration)."""
+    outdir, reports = worker_runs
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    tx = optax.sgd(1.0)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    batch = make_batch(np.random.default_rng(42), TCFG.sub_batch,
+                       TCFG.batch_size)
+    single = make_train_step(NET, TCFG, donate=False)
+    s1, m1 = single(state, batch, jax.random.key(7))
+
+    for r in reports:
+        np.testing.assert_allclose(r["loss"], float(m1["loss"]), rtol=2e-4)
+
+    ref = {jax.tree_util.keystr(p): np.asarray(leaf)
+           for p, leaf in jax.tree_util.tree_leaves_with_path(s1.params)}
+    for pid in range(NPROC):
+        got = np.load(outdir / f"params_{pid}.npz")
+        assert set(got.files) >= set(ref.keys())
+        for key, a in ref.items():
+            b = np.asarray(got[key], np.float64)
+            a64 = np.asarray(a, np.float64)
+            rel = np.linalg.norm(a64 - b) / (np.linalg.norm(a64) + 1e-12)
+            assert rel < 5e-2, (pid, key, rel)
+    # both processes hold identical replicated params
+    g0 = np.load(outdir / "params_0.npz")
+    g1 = np.load(outdir / "params_1.npz")
+    for key in g0.files:
+        np.testing.assert_array_equal(g0[key], g1[key])

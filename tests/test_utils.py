@@ -71,6 +71,34 @@ def test_ema_params_track_params(rng):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_ema_recursion_post_update_semantics(rng):
+    """Pins the EMA recursion over MULTIPLE steps: shadows track the
+    POST-update params deterministically, ema_t = d*ema_{t-1} +
+    (1-d)*params_t (DEVIATIONS.md #17 — the reference's
+    ``tf.group(apply_gradients, ema_op)`` leaves the read order unspecified
+    and ramps the decay by global_step, train_multi_gpu.py:108-117)."""
+    import jax.numpy as jnp
+    from densereg_tpu.config import NetConfig, TrainConfig
+    from densereg_tpu.train import create_train_state, make_train_step
+    from tests.test_train import make_batch
+
+    net = NetConfig(num_stack=1, num_fea=8, num_joint=3, input_hw=(32, 32))
+    d = 0.8
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       ema_decay=d)
+    state = create_train_state(jax.random.key(0), net, tcfg, 10.0)
+    step = make_train_step(net, tcfg, donate=False)
+    ema = [np.asarray(leaf) for leaf in
+           jax.tree_util.tree_leaves(state.params)]
+    for i in range(3):
+        state, _ = step(state, make_batch(rng, 1, 2), jax.random.key(i))
+        ema = [d * e + (1 - d) * np.asarray(p) for e, p in
+               zip(ema, jax.tree_util.tree_leaves(state.params))]
+    for e_ref, e_got in zip(ema, jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(e_got), e_ref,
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_trace_summary_tool(tmp_path):
     """tools/trace_summary.py digests a Chrome-trace export into per-op
     rows (the terminal profiling story; no TensorBoard needed)."""
