@@ -94,7 +94,8 @@ def cmd_train(args) -> int:
     train_spec, val_spec = _specs(args)
     net, tcfg = _configs(args, train_spec.jnt_num)
     tcfg = dataclasses.replace(tcfg, profile_dir=args.profile_dir,
-                               ema_decay=args.ema_decay)
+                               ema_decay=args.ema_decay,
+                               host_preprocess=args.host_preprocess)
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
           restore_step=restore, mesh=_mesh(args),
@@ -110,7 +111,8 @@ def cmd_test(args) -> int:
     net, tcfg = _configs(args, test_spec.jnt_num)
     if args.ema_decay is not None:
         tcfg = dataclasses.replace(tcfg, ema_decay=args.ema_decay)
-    ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas)
+    ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas,
+                      host_preprocess=args.host_preprocess)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
          mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module,
          use_ema=args.use_ema)
@@ -226,6 +228,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
     pt.add_argument("--ema_decay", type=float, default=None)
+    pt.add_argument("--host_preprocess", action="store_true",
+                    help="crop/center-of-mass on the host CPU backend and "
+                         "transfer cropped float32 (transfer optimization "
+                         "for remote-relay chips)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test", help="evaluate a checkpoint on the test split")
@@ -237,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--use_ema", action="store_true",
                     help="evaluate EMA weights (run must be trained with "
                          "--ema_decay)")
+    pe.add_argument("--host_preprocess", action="store_true",
+                    help="crop on the host CPU backend; transfer cropped "
+                         "float32 (remote-relay transfer optimization)")
     pe.add_argument("--ema_decay", type=float, default=None,
                     help="must match the training run when using --use_ema "
                          "(shapes the restore template)")

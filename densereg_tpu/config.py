@@ -144,6 +144,11 @@ class TrainConfig:
     # trees to the host — 0 disables)
     histogram_every: int = 100
     base_dir: str = "./exp/train_cache/"
+    # run the crop/center-of-mass preprocess on the host CPU backend and
+    # ship cropped float32 instead of raw uint16 full frames — a transfer
+    # optimization for remote-relay-attached chips (see
+    # data.pipeline.InputPipeline); keep False on locally attached devices
+    host_preprocess: bool = False
     # data parallel axis name for shard_map
     data_axis: str = "data"
     # when set, capture a jax.profiler device trace of steps
@@ -165,6 +170,9 @@ class EvalConfig:
     vote_grid: int = 4            # 4x4x4 quantized voting grid
     use_pallas: bool = False      # fused decode kernel (jnp fallback otherwise)
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    # crop on the host CPU backend and ship cropped float32 (transfer
+    # optimization for remote-relay chips; see TrainConfig.host_preprocess)
+    host_preprocess: bool = False
 
 
 def model_desc(dataset_name: str, subset: str, net: NetConfig, augment: bool,

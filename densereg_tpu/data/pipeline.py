@@ -96,7 +96,8 @@ class InputPipeline:
 
     def __init__(self, spec: DatasetSpec, batch_size: int, sub_batch: int = 1,
                  input_hw=(128, 128), seed: int = 0, mesh=None,
-                 prefetch: int = 4, num_workers: int = 1):
+                 prefetch: int = 4, num_workers: int = 1,
+                 host_preprocess: bool = False):
         import jax
 
         self.spec = spec
@@ -104,6 +105,15 @@ class InputPipeline:
         self.sub_batch = sub_batch
         self.input_hw = input_hw
         self.mesh = mesh
+        # host_preprocess: run the crop/com program on the HOST's CPU
+        # backend and transfer the cropped (b,h,w,1) float32 instead of raw
+        # full frames.  Same jitted program, same semantics — only the
+        # device boundary moves.  Worth it only on transfer-starved
+        # topologies (a remote-relay chip: 13 MB/batch vs 30 MB uint16 full
+        # frames at 200x(240x320); see BASELINE.md round 3) — on a locally
+        # attached chip keep the default and let the device do the crop.
+        self.host_preprocess = host_preprocess
+        self._cpu = jax.devices("cpu")[0] if host_preprocess else None
         # multi-host: each process reads a disjoint shard subset and
         # produces only its 1/num_hosts slice of the global batch; the
         # slices become one global jax.Array in parallel.mesh.shard_batch
@@ -162,13 +172,25 @@ class InputPipeline:
 
     # -- device side -------------------------------------------------------
     def __iter__(self) -> Iterator[dict]:
+        import jax
+
         h, w = self.input_hw
         cfg = self.spec.cfg.as_array()
         while True:
             dms, poses = self._q.get()
-            dm, pose, cfgs, coms = preprocess_batch_from_pose(
-                jnp.asarray(dms), jnp.asarray(poses), cfg, h, w,
-                self.spec.fixed_bg_threshold)
+            if self.host_preprocess:
+                with jax.default_device(self._cpu):
+                    out = preprocess_batch_from_pose(
+                        np.ascontiguousarray(dms),
+                        np.ascontiguousarray(poses), np.asarray(cfg), h, w,
+                        self.spec.fixed_bg_threshold)
+                # cropped f32 crosses the wire instead of raw full frames
+                dm, pose, cfgs, coms = (jnp.asarray(np.asarray(x))
+                                        for x in out)
+            else:
+                dm, pose, cfgs, coms = preprocess_batch_from_pose(
+                    jnp.asarray(dms), jnp.asarray(poses), cfg, h, w,
+                    self.spec.fixed_bg_threshold)
             batch = {
                 "dm": dm.reshape(self.sub_batch, self.local_batch, h, w, 1),
                 "pose": pose.reshape(self.sub_batch, self.local_batch, -1),
@@ -198,13 +220,18 @@ class TestPipeline:
     ``exact_num``."""
 
     def __init__(self, spec: DatasetSpec, batch_size: int,
-                 input_hw=(128, 128), mesh=None):
+                 input_hw=(128, 128), mesh=None,
+                 host_preprocess: bool = False):
         import jax
 
         self.spec = spec
         self.batch_size = batch_size
         self.input_hw = input_hw
         self.mesh = mesh
+        # same trade-off as InputPipeline.host_preprocess: crop on the host
+        # CPU backend, ship cropped float32 instead of raw full frames
+        self.host_preprocess = host_preprocess
+        self._cpu = jax.devices("cpu")[0] if host_preprocess else None
         # The eval path is single-controller: every host would emit the FULL
         # global batch, so shard_batch's multi-host assembly would build a
         # duplicated, num_hosts-times-oversized array.  Multi-host is
@@ -249,14 +276,27 @@ class TestPipeline:
             yield self._emit(buf_d, buf_p, buf_n, buf_b, cfg, h, w)
 
     def _emit(self, buf_d, buf_p, buf_n, buf_b, cfg, h, w):
-        dms = jnp.asarray(np.stack(buf_d))
-        poses = jnp.asarray(np.stack(buf_p))
-        if self.spec.uses_bbx and buf_b:
+        if self.host_preprocess:
+            import jax
+
+            with jax.default_device(self._cpu):
+                if self.spec.uses_bbx and buf_b:
+                    out = preprocess_batch_from_bbx(
+                        np.stack(buf_d), np.stack(buf_p), np.stack(buf_b),
+                        np.asarray(cfg), h, w)
+                else:
+                    out = preprocess_batch_from_pose(
+                        np.stack(buf_d), np.stack(buf_p), np.asarray(cfg),
+                        h, w, self.spec.fixed_bg_threshold)
+            dm, pose, cfgs, coms = (jnp.asarray(np.asarray(x)) for x in out)
+        elif self.spec.uses_bbx and buf_b:
             dm, pose, cfgs, coms = preprocess_batch_from_bbx(
-                dms, poses, jnp.asarray(np.stack(buf_b)), cfg, h, w)
+                jnp.asarray(np.stack(buf_d)), jnp.asarray(np.stack(buf_p)),
+                jnp.asarray(np.stack(buf_b)), cfg, h, w)
         else:
             dm, pose, cfgs, coms = preprocess_batch_from_pose(
-                dms, poses, cfg, h, w, self.spec.fixed_bg_threshold)
+                jnp.asarray(np.stack(buf_d)), jnp.asarray(np.stack(buf_p)),
+                cfg, h, w, self.spec.fixed_bg_threshold)
         batch = {"dm": dm, "pose": pose, "cfg": cfgs, "com": coms,
                  "name": list(buf_n)}
         if self.mesh is not None:

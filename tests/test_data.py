@@ -193,3 +193,41 @@ def test_device_prefetch_preserves_order_and_exhaustion():
     assert pulled == [0, 1, 2]
     assert next(it) == 1
     assert pulled == [0, 1, 2, 3]
+
+
+def test_host_preprocess_matches_device_path(tmp_path):
+    """host_preprocess=True moves the crop/com program to the CPU backend
+    and ships cropped float32; the yielded batches must match the default
+    (device-preprocess) path on the same shuffle order within float
+    tolerance (the program is identical — only the backend differs)."""
+    spec = get_dataset("synthetic", "training", directory=str(tmp_path),
+                       num_shards=2, samples_per_shard=8)
+    a = InputPipeline(spec, batch_size=2, sub_batch=2, input_hw=(32, 32),
+                      seed=3)
+    b = InputPipeline(spec, batch_size=2, sub_batch=2, input_hw=(32, 32),
+                      seed=3, host_preprocess=True)
+    try:
+        ba = next(iter(a))
+        bb = next(iter(b))
+        for k in ("dm", "pose", "cfg", "com"):
+            np.testing.assert_allclose(np.asarray(ba[k]), np.asarray(bb[k]),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=k)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_host_preprocess_test_pipeline_matches(tmp_path):
+    """TestPipeline(host_preprocess=True) yields the same batches as the
+    device-preprocess path (sequential order, so directly comparable)."""
+    spec = get_dataset("synthetic", "testing", directory=str(tmp_path),
+                       num_shards=1, samples_per_shard=6)
+    a = TestPipeline(spec, batch_size=4, input_hw=(32, 32))
+    b = TestPipeline(spec, batch_size=4, input_hw=(32, 32),
+                     host_preprocess=True)
+    for ba, bb in zip(a, b):
+        assert ba["name"] == bb["name"]
+        for k in ("dm", "pose", "cfg", "com"):
+            np.testing.assert_allclose(np.asarray(ba[k]), np.asarray(bb[k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)

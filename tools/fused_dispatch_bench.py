@@ -7,6 +7,10 @@ A = the production train loop's shape: per batch, transfer raw uint16
     device_prefetch — disabled here so the dispatch structure itself is
     what's measured).
 B = ``make_fused_train_step``: one dispatch doing preprocess + scan step.
+C = host-preprocess staging (``InputPipeline(host_preprocess=True)``'s
+    data flow): the same preprocess program jitted on the HOST CPU
+    backend, cropped float32 over the wire (13 MB vs 30 MB raw), one
+    train-step dispatch.
 
 Methodology per the relay notes (memory: tpu-relay-benchmarking /
 CLAUDE.md): host batches are PRE-generated outside the timed region;
@@ -65,7 +69,7 @@ def main():
     for _ in range(4):
         frames = np.full((n, 240, 320, 1), 900, np.uint16)
         frames[:, 90:170, 120:220, 0] = rng.integers(
-            380, 460, (n, 80, 100, 1)).astype(np.uint16)
+            380, 460, (n, 80, 100)).astype(np.uint16)
         poses = np.zeros((n, 16, 3), np.float32)
         poses[..., 0] = rng.uniform(-25, 25, (n, 16))
         poses[..., 1] = rng.uniform(-25, 25, (n, 16))
@@ -104,24 +108,54 @@ def main():
                          jax.random.key(i))
         float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
 
-    # warm both compiles before any timing
+    cpu = jax.devices("cpu")[0]
+
+    def run_hostpre(state, iters):
+        s = state
+        for i in range(iters):
+            frames, poses = host[i % len(host)]
+            with jax.default_device(cpu):
+                dm, pose, cfgs, coms = preprocess_batch_from_pose(
+                    frames, poses, cam, 128, 128)
+            batch = {
+                "dm": jnp.asarray(np.asarray(dm)).reshape(
+                    args.sub_batch, args.batch, 128, 128, 1),
+                "pose": jnp.asarray(np.asarray(pose)).reshape(
+                    args.sub_batch, args.batch, -1),
+                "cfg": jnp.asarray(np.asarray(cfgs)).reshape(
+                    args.sub_batch, args.batch, 6),
+                "com": jnp.asarray(np.asarray(coms)).reshape(
+                    args.sub_batch, args.batch, 3),
+            }
+            s, _ = step(s, batch, jax.random.key(i))
+        float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
+
+    # warm every compile before any timing
     run_two(state0, 1)
     run_fused(state0, 1)
+    run_hostpre(state0, 1)
 
-    results = {"two": [], "fused": []}
+    # ROTATE the variant order each rep: relay throughput drifts within a
+    # run (measured monotone degradation across a rep's blocks), so a fixed
+    # order systematically favors whichever variant runs first.  With one
+    # full rotation every variant occupies every position once.
+    variants = [("two", run_two), ("fused", run_fused),
+                ("hostpre", run_hostpre)]
+    results = {name: [] for name, _ in variants}
     for rep in range(args.reps):
-        for name, fn in (("two", run_two), ("fused", run_fused)):
+        order = variants[rep % 3:] + variants[:rep % 3]
+        for name, fn in order:
             t0 = time.perf_counter()
             fn(state0, args.iters)
             dt = (time.perf_counter() - t0) / args.iters
             results[name].append(dt)
-            print(f"rep {rep} {name:5s}: {dt*1e3:7.1f} ms/batch "
+            print(f"rep {rep} {name:7s}: {dt*1e3:7.1f} ms/batch "
                   f"({n/dt:7.0f} samples/s)", flush=True)
 
     for name, ts in results.items():
         ts = sorted(ts)
         med = ts[len(ts) // 2]
-        print(f"{name:5s} median {med*1e3:7.1f} ms/batch  "
+        print(f"{name:7s} median {med*1e3:7.1f} ms/batch  "
               f"(all: {', '.join(f'{t*1e3:.0f}' for t in ts)})", flush=True)
 
 
