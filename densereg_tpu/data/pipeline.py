@@ -112,6 +112,10 @@ class InputPipeline:
         # topologies (a remote-relay chip: 13 MB/batch vs 30 MB uint16 full
         # frames at 200x(240x320); see BASELINE.md round 3) — on a locally
         # attached chip keep the default and let the device do the crop.
+        # The CPU program runs inside the PRODUCER threads, so its cost
+        # overlaps the accelerator's compute instead of serializing with it
+        # in the consumer loop (jit dispatch is thread-safe and
+        # jax.default_device is a thread-local config scope).
         self.host_preprocess = host_preprocess
         self._cpu = jax.devices("cpu")[0] if host_preprocess else None
         # multi-host: each process reads a disjoint shard subset and
@@ -139,6 +143,19 @@ class InputPipeline:
             t.start()
 
     # -- host side ---------------------------------------------------------
+    def _host_crop(self, dms, poses):
+        """Run the crop/com program on the CPU backend (producer-thread
+        side); returns float32 numpy (dm, pose, cfgs, coms)."""
+        import jax
+
+        h, w = self.input_hw
+        with jax.default_device(self._cpu):
+            out = preprocess_batch_from_pose(
+                np.ascontiguousarray(dms), np.ascontiguousarray(poses),
+                np.asarray(self.spec.cfg.as_array()), h, w,
+                self.spec.fixed_bg_threshold)
+        return tuple(np.asarray(x) for x in out)
+
     def _producer(self, rng):
         # drop empty shards (linspace sharding can leave some empty when the
         # sample count is below the dataset's conventional shard count)
@@ -162,8 +179,10 @@ class InputPipeline:
                     batch_p, rest_p = pcat[:need], pcat[need:]
                     pool_d, pool_p = [rest_d], [rest_p]
                     total = rest_d.shape[0]
+                    item = (self._host_crop(batch_d, batch_p)
+                            if self.host_preprocess else (batch_d, batch_p))
                     try:
-                        self._q.put((batch_d, batch_p), timeout=60)
+                        self._q.put(item, timeout=60)
                     except queue.Full:
                         if self._stop.is_set():
                             return
@@ -172,22 +191,16 @@ class InputPipeline:
 
     # -- device side -------------------------------------------------------
     def __iter__(self) -> Iterator[dict]:
-        import jax
-
         h, w = self.input_hw
         cfg = self.spec.cfg.as_array()
         while True:
-            dms, poses = self._q.get()
             if self.host_preprocess:
-                with jax.default_device(self._cpu):
-                    out = preprocess_batch_from_pose(
-                        np.ascontiguousarray(dms),
-                        np.ascontiguousarray(poses), np.asarray(cfg), h, w,
-                        self.spec.fixed_bg_threshold)
-                # cropped f32 crosses the wire instead of raw full frames
-                dm, pose, cfgs, coms = (jnp.asarray(np.asarray(x))
-                                        for x in out)
+                # producers already cropped on the CPU backend; the consumer
+                # only ships cropped f32 over the wire (async dispatch)
+                dm, pose, cfgs, coms = (jnp.asarray(x)
+                                        for x in self._q.get())
             else:
+                dms, poses = self._q.get()
                 dm, pose, cfgs, coms = preprocess_batch_from_pose(
                     jnp.asarray(dms), jnp.asarray(poses), cfg, h, w,
                     self.spec.fixed_bg_threshold)

@@ -7,10 +7,13 @@ A = the production train loop's shape: per batch, transfer raw uint16
     device_prefetch — disabled here so the dispatch structure itself is
     what's measured).
 B = ``make_fused_train_step``: one dispatch doing preprocess + scan step.
-C = host-preprocess staging (``InputPipeline(host_preprocess=True)``'s
-    data flow): the same preprocess program jitted on the HOST CPU
-    backend, cropped float32 over the wire (13 MB vs 30 MB raw), one
-    train-step dispatch.
+C = host-preprocess staging, synchronous form: the same preprocess
+    program jitted on the HOST CPU backend in the consumer loop, cropped
+    float32 over the wire (13 MB vs 30 MB raw), one train-step dispatch.
+D = host-preprocess staging, PIPELINED (the production
+    ``InputPipeline(host_preprocess=True)`` data flow): the CPU crop runs
+    in a producer thread feeding a bounded queue, so its cost overlaps
+    the device's step k-1 instead of serializing with it.
 
 Methodology per the relay notes (memory: tpu-relay-benchmarking /
 CLAUDE.md): host batches are PRE-generated outside the timed region;
@@ -47,7 +50,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=40)
     ap.add_argument("--sub_batch", type=int, default=5)
     args = ap.parse_args()
@@ -130,32 +133,66 @@ def main():
             s, _ = step(s, batch, jax.random.key(i))
         float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
 
+    def run_hostpipe(state, iters):
+        # the production pipelined form: one producer thread crops on the
+        # CPU backend into a bounded queue while the consumer transfers +
+        # steps — models InputPipeline(host_preprocess=True).__iter__
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def produce():
+            for i in range(iters):
+                frames, poses = host[i % len(host)]
+                with jax.default_device(cpu):
+                    out = preprocess_batch_from_pose(
+                        frames, poses, cam, 128, 128)
+                q.put(tuple(np.asarray(x) for x in out))
+
+        t = _threading.Thread(target=produce, daemon=True)
+        t.start()
+        s = state
+        for i in range(iters):
+            dm, pose, cfgs, coms = (jnp.asarray(x) for x in q.get())
+            batch = {
+                "dm": dm.reshape(args.sub_batch, args.batch, 128, 128, 1),
+                "pose": pose.reshape(args.sub_batch, args.batch, -1),
+                "cfg": cfgs.reshape(args.sub_batch, args.batch, 6),
+                "com": coms.reshape(args.sub_batch, args.batch, 3),
+            }
+            s, _ = step(s, batch, jax.random.key(i))
+        float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
+        t.join()
+
     # warm every compile before any timing
     run_two(state0, 1)
     run_fused(state0, 1)
     run_hostpre(state0, 1)
+    run_hostpipe(state0, 1)
 
     # ROTATE the variant order each rep: relay throughput drifts within a
     # run (measured monotone degradation across a rep's blocks), so a fixed
     # order systematically favors whichever variant runs first.  With one
     # full rotation every variant occupies every position once.
     variants = [("two", run_two), ("fused", run_fused),
-                ("hostpre", run_hostpre)]
+                ("hostpre", run_hostpre), ("hostpipe", run_hostpipe)]
     results = {name: [] for name, _ in variants}
     for rep in range(args.reps):
-        order = variants[rep % 3:] + variants[:rep % 3]
+        rot = rep % len(variants)
+        order = variants[rot:] + variants[:rot]
         for name, fn in order:
             t0 = time.perf_counter()
             fn(state0, args.iters)
             dt = (time.perf_counter() - t0) / args.iters
             results[name].append(dt)
-            print(f"rep {rep} {name:7s}: {dt*1e3:7.1f} ms/batch "
+            print(f"rep {rep} {name:8s}: {dt*1e3:7.1f} ms/batch "
                   f"({n/dt:7.0f} samples/s)", flush=True)
 
     for name, ts in results.items():
         ts = sorted(ts)
         med = ts[len(ts) // 2]
-        print(f"{name:7s} median {med*1e3:7.1f} ms/batch  "
+        print(f"{name:8s} median {med*1e3:7.1f} ms/batch  "
               f"(all: {', '.join(f'{t*1e3:.0f}' for t in ts)})", flush=True)
 
 
