@@ -215,6 +215,66 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Serve raw depth images straight from disk: a directory (or glob) of
+    16-bit depth PNGs in, a reference-format result txt out.  Runs either a
+    ``jax.export`` artifact (``--artifact``, loadable without model code) or
+    a training checkpoint through :class:`densereg_tpu.serving.Predictor`.
+    The reference has no such entry point — its only inference surface is
+    the dataset-bound test driver (/root/reference/model/test_model.py)."""
+    import glob as globmod
+    import os
+
+    import numpy as np
+
+    from densereg_tpu.data.png16 import read_depth_png
+    from densereg_tpu.eval.writer import ResultWriter
+
+    pattern = args.images
+    if os.path.isdir(pattern):
+        pattern = os.path.join(pattern, "*.png")
+    paths = sorted(globmod.glob(pattern))
+    if not paths:
+        raise SystemExit(f"no images match {args.images}")
+    frames = np.stack([read_depth_png(p, nyu_packed=args.nyu_png)
+                       for p in paths])
+    h, w = frames.shape[1:3]
+
+    if args.bbx_file:
+        # one "top left bottom right depth_threshold" line per image, in
+        # sorted-path order (the nyu_bbx.pkl contract as plain text)
+        bbxs = np.loadtxt(args.bbx_file, dtype=np.float32).reshape(-1, 5)
+        if bbxs.shape[0] != len(paths):
+            raise SystemExit(f"{args.bbx_file}: {bbxs.shape[0]} boxes for "
+                             f"{len(paths)} images")
+    else:  # full-frame box; the crop keeps depth < com+threshold
+        bbxs = np.tile(np.asarray(
+            [0, 0, h, w, args.depth_threshold], np.float32), (len(paths), 1))
+
+    if args.artifact:
+        from densereg_tpu.export import load_exported
+        pred = load_exported(args.artifact)
+    else:
+        from densereg_tpu.config import model_desc
+        from densereg_tpu.serving import Predictor
+
+        train_spec, test_spec = _specs(args)
+        net, _ = _configs(args, test_spec.jnt_num)
+        desc = model_desc(train_spec.name, train_spec.subset, net,
+                          args.is_aug, args.net_module)
+        pred = Predictor.from_checkpoint(
+            os.path.join(args.base_dir, desc), net, test_spec.cfg,
+            step=args.selected_step, max_batch=args.batch_size,
+            quantize=args.quantize, use_ema=args.use_ema,
+            ema_decay=args.ema_decay)
+
+    xyz = pred(frames, bbxs)
+    with ResultWriter(args.out) as wtr:
+        wtr.write_batch([os.path.basename(p) for p in paths], xyz)
+    print(f"[predict] {len(paths)} frames -> {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="densereg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -289,6 +349,32 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--out", default=None,
                     help="output path (default <model-desc>.drexpt)")
     px.set_defaults(fn=cmd_export)
+
+    pp = sub.add_parser("predict", help="predict joints for raw depth "
+                                        "images (PNG dir/glob -> result txt)")
+    _add_common(pp)
+    pp.add_argument("--images", required=True,
+                    help="directory or glob of 16-bit depth PNGs")
+    pp.add_argument("--artifact", default=None,
+                    help="jax.export artifact (.drexpt); otherwise the "
+                         "checkpoint selected by the common flags is used")
+    pp.add_argument("--out", default="predict-result.txt")
+    pp.add_argument("--bbx_file", default=None,
+                    help="optional text file: one 'top left bottom right "
+                         "depth_threshold' line per image (sorted order); "
+                         "default is the full frame")
+    pp.add_argument("--depth_threshold", type=float, default=500.0,
+                    help="absolute background-cull depth in mm (pixels "
+                         "deeper are zeroed, like ICVL's fixed 500 mm cull) "
+                         "for the default full-frame box")
+    pp.add_argument("--nyu_png", action="store_true",
+                    help="depth packed as G<<8|B (the NYU PNG layout)")
+    pp.add_argument("--selected_step", type=int, default=-1)
+    pp.add_argument("--quantize", action="store_true",
+                    help="serve the int8-weight graph")
+    pp.add_argument("--use_ema", action="store_true")
+    pp.add_argument("--ema_decay", type=float, default=None)
+    pp.set_defaults(fn=cmd_predict)
     return p
 
 

@@ -225,6 +225,57 @@ def test_cli_parser_surface():
                       "--platforms", "cpu", "--out", "m.drexpt"])
     assert a.fn.__name__ == "cmd_export" and a.quantize
     assert a.platforms == "cpu" and a.out == "m.drexpt"
+    a = p.parse_args(["predict", "--dataset", "icvl", "--images", "d/",
+                      "--artifact", "m.drexpt", "--nyu_png"])
+    assert a.fn.__name__ == "cmd_predict" and a.nyu_png
+    assert a.artifact == "m.drexpt" and a.depth_threshold == 500.0
+
+
+@pytest.mark.slow
+def test_cli_predict(tmp_path):
+    """`predict` serves a directory of raw 16-bit depth PNGs through the
+    checkpoint (and through an exported artifact) and writes the
+    reference-format result txt."""
+    from PIL import Image
+
+    from densereg_tpu.cli.main import main as cli_main
+
+    data_dir = str(tmp_path / "data")
+    base_dir = str(tmp_path / "cache")
+    common = ["--dataset", "synthetic", "--data_dir", data_dir,
+              "--num_stack", "1", "--num_fea", "8", "--base_dir", base_dir,
+              "--batch_size", "2", "--sub_batch", "1",
+              "--compute_dtype", "float32", "--no-mesh"]
+    assert cli_main(["convert", "--dataset", "synthetic",
+                     "--subset", "training", "--data_dir", data_dir]) == 0
+    assert cli_main(["train", *common, "--max_steps", "1"]) == 0
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        depth = np.full((240, 320), 900, np.uint16)
+        depth[100:160, 140:220] = rng.integers(380, 460, (60, 80))
+        Image.fromarray(depth.astype(np.int32), mode="I").save(
+            str(img_dir / f"frame_{i}.png"), format="PNG", bits=16)
+
+    out = str(tmp_path / "pred.txt")
+    assert cli_main(["predict", *common, "--images", str(img_dir),
+                     "--out", out]) == 0
+    names, xyz = read_result_file(out)
+    assert names == [f"frame_{i}.png" for i in range(3)]
+    assert xyz.shape == (3, 48) and np.isfinite(xyz).all()
+
+    # same frames through an exported artifact must agree exactly
+    art = str(tmp_path / "m.drexpt")
+    assert cli_main(["export", *common, "--platforms", "cpu",
+                     "--out", art]) == 0
+    out2 = str(tmp_path / "pred2.txt")
+    assert cli_main(["predict", "--dataset", "synthetic",
+                     "--images", str(img_dir), "--artifact", art,
+                     "--out", out2]) == 0
+    _, xyz2 = read_result_file(out2)
+    np.testing.assert_allclose(xyz2, xyz, atol=1e-3)
 
 
 def test_graft_entry_dryrun_multichip():
