@@ -180,27 +180,39 @@ def _measure_train(device, iters=5, blocks=3):
 
 
 def _measure_eval_loop(infer, variables, cfgs, coms, batch, n_batches=4,
-                       blocks=2):
+                       blocks=2, wire="uint16"):
     """Streaming eval-loop fps: fresh PRE-GENERATED host batches transferred
     each iteration through the already-compiled serving program, dispatched
     with one batch in flight (the double-buffered eval pattern).  On a
     remote-attached chip this is transfer-bound and relay-dependent; the
     value is comparable only to other host-loop numbers (BASELINE.md).
     Best of ``blocks`` timed blocks, for the same hiccup reason as
-    ``_measure_train``."""
+    ``_measure_train``.
+
+    ``wire="uint16"`` (the default, BENCH_WIRE=f32 to disable) feeds the
+    per-batch fixed-point uint16 crop encoding (densereg_tpu.wire) — the
+    production ``--host_preprocess --wire_dtype uint16`` feed: half the
+    bytes over the transfer-bound link, <=0.005 mm quantization."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
     host = [rng.uniform(300.0, 500.0, (batch, 128, 128, 1))
             .astype(np.float32) for _ in range(n_batches)]
-    out = infer(variables, jnp.asarray(host[0]), cfgs, coms)
+    if wire == "uint16":
+        from densereg_tpu.wire import encode_dm_u16
+        host = [encode_dm_u16(h) for h in host]
+        feed = lambda h: infer(variables, jnp.asarray(h[0]), cfgs, coms,
+                               jnp.asarray(h[1]))
+    else:
+        feed = lambda h: infer(variables, jnp.asarray(h), cfgs, coms)
+    out = feed(host[0])
     float(jnp.sum(out))  # fence warmup
     best = float("inf")
     for _ in range(blocks):
         t0 = time.perf_counter()
         last = None
         for h in host:
-            last = infer(variables, jnp.asarray(h), cfgs, coms)
+            last = feed(h)
         float(jnp.sum(last))  # device executes in order -> fences each batch
         best = min(best, time.perf_counter() - t0)
     return batch * n_batches / best
@@ -242,11 +254,16 @@ def main():
     # Default on for accelerators; BENCH_TRAIN=0 / BENCH_EVAL=0 disable.
     extras = {}
     if on_accel and os.environ.get("BENCH_EVAL", "1") == "1" and ctx:
-        try:
-            extras["eval_loop_fps"] = round(
-                _measure_eval_loop(ctx[0], ctx[1], ctx[2], ctx[3], BATCH), 2)
-        except Exception:
-            pass
+        wire = "float32" if os.environ.get("BENCH_WIRE") == "f32" \
+            else "uint16"
+        for w in ([wire, "float32"] if wire == "uint16" else [wire]):
+            try:
+                extras["eval_loop_fps"] = round(_measure_eval_loop(
+                    ctx[0], ctx[1], ctx[2], ctx[3], BATCH, wire=w), 2)
+                extras["eval_loop_wire"] = w
+                break
+            except Exception:
+                pass
     if on_accel and os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
             extras["train_samples_per_sec"] = round(_measure_train(dev), 2)

@@ -95,7 +95,9 @@ def cmd_train(args) -> int:
     net, tcfg = _configs(args, train_spec.jnt_num)
     tcfg = dataclasses.replace(tcfg, profile_dir=args.profile_dir,
                                ema_decay=args.ema_decay,
-                               host_preprocess=args.host_preprocess)
+                               host_preprocess=args.host_preprocess,
+                               wire_dtype=args.wire_dtype,
+                               num_workers=args.num_workers)
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
           restore_step=restore, mesh=_mesh(args),
@@ -112,7 +114,8 @@ def cmd_test(args) -> int:
     if args.ema_decay is not None:
         tcfg = dataclasses.replace(tcfg, ema_decay=args.ema_decay)
     ecfg = EvalConfig(batch_size=args.batch_size, use_pallas=args.use_pallas,
-                      host_preprocess=args.host_preprocess)
+                      host_preprocess=args.host_preprocess,
+                      wire_dtype=args.wire_dtype)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
          mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module,
          use_ema=args.use_ema)
@@ -292,6 +295,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="crop/center-of-mass on the host CPU backend and "
                          "transfer cropped float32 (transfer optimization "
                          "for remote-relay chips)")
+    pt.add_argument("--num_workers", type=int, default=1,
+                    help="input-pipeline producer threads (shard reads and, "
+                         "with --host_preprocess, the CPU crop)")
+    pt.add_argument("--wire_dtype", choices=["float32", "uint16"],
+                    default="float32",
+                    help="with --host_preprocess: wire encoding of the "
+                         "cropped batch (uint16 = per-batch fixed point, "
+                         "half the bytes, <=0.005 mm quantization)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test", help="evaluate a checkpoint on the test split")
@@ -306,6 +317,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--host_preprocess", action="store_true",
                     help="crop on the host CPU backend; transfer cropped "
                          "float32 (remote-relay transfer optimization)")
+    pe.add_argument("--wire_dtype", choices=["float32", "uint16"],
+                    default="float32",
+                    help="with --host_preprocess: wire encoding of the "
+                         "cropped batch (uint16 = per-batch fixed point, "
+                         "half the bytes, <=0.005 mm quantization)")
     pe.add_argument("--ema_decay", type=float, default=None,
                     help="must match the training run when using --use_ema "
                          "(shapes the restore template)")

@@ -149,6 +149,15 @@ class TrainConfig:
     # optimization for remote-relay-attached chips (see
     # data.pipeline.InputPipeline); keep False on locally attached devices
     host_preprocess: bool = False
+    # with host_preprocess, ship the crop as per-batch fixed-point uint16
+    # ("uint16"; densereg_tpu.wire — half the wire bytes, <=0.005 mm
+    # quantization) instead of float32
+    wire_dtype: str = "float32"
+    # producer threads feeding the input pipeline (shard decompression and,
+    # under host_preprocess, the CPU crop run here; raise on multi-core
+    # hosts — the reference's num_preprocess_threads,
+    # /root/reference/data/dataset_base.py:151)
+    num_workers: int = 1
     # data parallel axis name for shard_map
     data_axis: str = "data"
     # when set, capture a jax.profiler device trace of steps
@@ -173,6 +182,9 @@ class EvalConfig:
     # crop on the host CPU backend and ship cropped float32 (transfer
     # optimization for remote-relay chips; see TrainConfig.host_preprocess)
     host_preprocess: bool = False
+    # with host_preprocess, the wire encoding of the cropped batch
+    # ("float32" | "uint16" fixed-point, densereg_tpu.wire)
+    wire_dtype: str = "float32"
 
 
 def model_desc(dataset_name: str, subset: str, net: NetConfig, augment: bool,

@@ -14,6 +14,7 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from densereg_tpu import decode as decode_mod
@@ -26,16 +27,23 @@ from densereg_tpu.preprocess import area_resize, norm_dm
 
 def make_infer_fn(net_cfg: NetConfig, ecfg: EvalConfig = EvalConfig(),
                   mesh=None) -> Callable:
-    """Returns jitted ``infer(variables, dms, cfgs, coms) -> xyz (b, 3j)``.
+    """Returns jitted ``infer(variables, dms, cfgs, coms[, dm_scale])`` ->
+    ``xyz (b, 3j)``.
 
-    ``dms`` are raw-mm cropped depth maps (b, H, W, 1).  With ``mesh`` the
-    batch is annotated to shard over the ``data`` axis for multi-chip
-    batch-parallel serving.
+    ``dms`` are raw-mm cropped depth maps (b, H, W, 1).  When the feed uses
+    the uint16 wire codec (densereg_tpu.wire), pass the per-batch
+    ``dm_scale`` array and ``dms`` as uint16 — the dequantize multiply is
+    traced into the same program, so XLA fuses it with the normalize pass
+    (no extra HBM round trip).  With ``mesh`` the batch is annotated to
+    shard over the ``data`` axis for multi-chip batch-parallel serving.
     """
     net = DenseRegNet(net_cfg)
     out_h, out_w = net_cfg.output_hw
 
-    def infer(variables, dms, cfgs, coms):
+    def infer(variables, dms, cfgs, coms, dm_scale=None):
+        dms = dms.astype(jnp.float32)
+        if dm_scale is not None:
+            dms = dms * dm_scale
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
@@ -97,8 +105,12 @@ def evaluate_stream(infer_fn, variables, batches: Iterable[dict],
     pending = None
     try:
         for step, batch in enumerate(batches):
-            xyz_dev = infer_fn(variables, batch["dm"], batch["cfg"],
-                               batch["com"])
+            scale = batch.get("dm_scale")
+            xyz_dev = (infer_fn(variables, batch["dm"], batch["cfg"],
+                                batch["com"], scale)
+                       if scale is not None else
+                       infer_fn(variables, batch["dm"], batch["cfg"],
+                                batch["com"]))
             if pending is not None:
                 consume(*pending)
                 if n_done >= exact_num:

@@ -74,7 +74,9 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     step_fn = make_train_step(net_cfg, tcfg, mesh=mesh, with_grads=with_grads)
     pipeline = InputPipeline(spec, tcfg.batch_size, tcfg.sub_batch,
                              net_cfg.input_hw, seed=tcfg.seed, mesh=mesh,
-                             host_preprocess=tcfg.host_preprocess)
+                             host_preprocess=tcfg.host_preprocess,
+                             wire_dtype=tcfg.wire_dtype,
+                             num_workers=tcfg.num_workers)
 
     infer_fn = None
     image_writer = None
@@ -374,7 +376,8 @@ def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     variables = {"params": params, "batch_stats": state.batch_stats}
     infer_fn = make_infer_fn(net_cfg, ecfg, mesh=mesh)
     pipe = TestPipeline(spec, ecfg.batch_size, net_cfg.input_hw, mesh=mesh,
-                        host_preprocess=ecfg.host_preprocess)
+                        host_preprocess=ecfg.host_preprocess,
+                        wire_dtype=ecfg.wire_dtype)
 
     stamp = str(datetime.now()).replace(" ", "_")
     res_path = os.path.join(train_dir, f"{spec.subset}-{stamp}-result.txt")

@@ -129,11 +129,15 @@ def test_png16_roundtrip(tmp_path):
     np.testing.assert_array_equal(got, depth)
 
 
-def test_train_pipeline_multiworker(tmp_path):
+@pytest.mark.parametrize("host_pre", [False, True],
+                         ids=["device_crop", "host_crop"])
+def test_train_pipeline_multiworker(tmp_path, host_pre):
+    """Multiple producers yield valid batches; with host_preprocess the CPU
+    crop program is also exercised concurrently from the worker threads."""
     spec = get_dataset("synthetic", "training", directory=str(tmp_path),
                        num_shards=2, samples_per_shard=8)
     pipe = InputPipeline(spec, batch_size=2, sub_batch=1, input_hw=(32, 32),
-                         num_workers=3)
+                         num_workers=3, host_preprocess=host_pre)
     try:
         it = iter(pipe)
         for _ in range(5):

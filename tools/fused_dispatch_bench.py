@@ -14,6 +14,10 @@ D = host-preprocess staging, PIPELINED (the production
     ``InputPipeline(host_preprocess=True)`` data flow): the CPU crop runs
     in a producer thread feeding a bounded queue, so its cost overlaps
     the device's step k-1 instead of serializing with it.
+E = D plus the uint16 wire codec (``wire_dtype="uint16"``,
+    densereg_tpu.wire): the producer fixed-point-encodes the crop, halving
+    the wire bytes again (6.5 vs 13 MB/batch); the consumer dequantizes in
+    one device pass.
 
 Methodology per the relay notes (memory: tpu-relay-benchmarking /
 CLAUDE.md): host batches are PRE-generated outside the timed region;
@@ -133,50 +137,73 @@ def main():
             s, _ = step(s, batch, jax.random.key(i))
         float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
 
-    def run_hostpipe(state, iters):
+    def _make_hostpipe(wire_u16: bool):
         # the production pipelined form: one producer thread crops on the
         # CPU backend into a bounded queue while the consumer transfers +
-        # steps — models InputPipeline(host_preprocess=True).__iter__
+        # steps — models InputPipeline(host_preprocess=True).__iter__;
+        # with wire_u16 the producer also fixed-point-encodes the crop
+        # (InputPipeline(wire_dtype="uint16"): 6.5 vs 13 MB/batch)
         import queue as _queue
         import threading as _threading
 
-        q: _queue.Queue = _queue.Queue(maxsize=2)
+        from densereg_tpu.wire import encode_dm_u16
 
-        def produce():
+        def run(state, iters):
+            q: _queue.Queue = _queue.Queue(maxsize=2)
+
+            def produce():
+                for i in range(iters):
+                    frames, poses = host[i % len(host)]
+                    with jax.default_device(cpu):
+                        out = preprocess_batch_from_pose(
+                            frames, poses, cam, 128, 128)
+                    out = tuple(np.asarray(x) for x in out)
+                    if wire_u16:
+                        out = encode_dm_u16(out[0]) + out[1:]
+                    q.put(out)
+
+            t = _threading.Thread(target=produce, daemon=True)
+            t.start()
+            s = state
             for i in range(iters):
-                frames, poses = host[i % len(host)]
-                with jax.default_device(cpu):
-                    out = preprocess_batch_from_pose(
-                        frames, poses, cam, 128, 128)
-                q.put(tuple(np.asarray(x) for x in out))
+                item = q.get()
+                if wire_u16:
+                    qdm, scale, pose, cfgs, coms = item
+                    dm = jnp.asarray(qdm).astype(jnp.float32) \
+                        * jnp.asarray(scale)
+                    pose, cfgs, coms = (jnp.asarray(x)
+                                        for x in (pose, cfgs, coms))
+                else:
+                    dm, pose, cfgs, coms = (jnp.asarray(x) for x in item)
+                batch = {
+                    "dm": dm.reshape(args.sub_batch, args.batch, 128, 128, 1),
+                    "pose": pose.reshape(args.sub_batch, args.batch, -1),
+                    "cfg": cfgs.reshape(args.sub_batch, args.batch, 6),
+                    "com": coms.reshape(args.sub_batch, args.batch, 3),
+                }
+                s, _ = step(s, batch, jax.random.key(i))
+            float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
+            t.join()
 
-        t = _threading.Thread(target=produce, daemon=True)
-        t.start()
-        s = state
-        for i in range(iters):
-            dm, pose, cfgs, coms = (jnp.asarray(x) for x in q.get())
-            batch = {
-                "dm": dm.reshape(args.sub_batch, args.batch, 128, 128, 1),
-                "pose": pose.reshape(args.sub_batch, args.batch, -1),
-                "cfg": cfgs.reshape(args.sub_batch, args.batch, 6),
-                "com": coms.reshape(args.sub_batch, args.batch, 3),
-            }
-            s, _ = step(s, batch, jax.random.key(i))
-        float(jnp.sum(jax.tree_util.tree_leaves(s.params)[0]))
-        t.join()
+        return run
+
+    run_hostpipe = _make_hostpipe(False)
+    run_hostpipe_u16 = _make_hostpipe(True)
 
     # warm every compile before any timing
     run_two(state0, 1)
     run_fused(state0, 1)
     run_hostpre(state0, 1)
     run_hostpipe(state0, 1)
+    run_hostpipe_u16(state0, 1)
 
     # ROTATE the variant order each rep: relay throughput drifts within a
     # run (measured monotone degradation across a rep's blocks), so a fixed
     # order systematically favors whichever variant runs first.  With one
     # full rotation every variant occupies every position once.
     variants = [("two", run_two), ("fused", run_fused),
-                ("hostpre", run_hostpre), ("hostpipe", run_hostpipe)]
+                ("hostpre", run_hostpre), ("hostpipe", run_hostpipe),
+                ("hostpipe_u16", run_hostpipe_u16)]
     results = {name: [] for name, _ in variants}
     for rep in range(args.reps):
         rot = rep % len(variants)
