@@ -32,7 +32,18 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, state: TrainState, step: Optional[int] = None) -> None:
+    def save(self, state: TrainState, step: Optional[int] = None,
+             block: bool = True) -> None:
+        """Persist the full training state at ``step``.
+
+        ``block=False`` returns as soon as orbax has snapshotted the
+        (immutable) arrays and commits in a background thread — the d2h
+        fetch and disk write overlap the next training steps instead of
+        stalling them (a back-to-back save waits for the previous one, so
+        ordering is preserved).  Use the default ``block=True`` wherever
+        durability is needed before the process may exit: preemption,
+        the final step, emergency checkpoints.
+        """
         step = int(state.step) if step is None else int(step)
         payload = {
             "params": state.params,
@@ -44,9 +55,15 @@ class CheckpointManager:
         if state.ema_params is not None:
             payload["ema_params"] = state.ema_params
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if block:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until every in-flight async save has committed."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def _ema_on_disk(self, step: int) -> Optional[bool]:
@@ -131,4 +148,5 @@ class CheckpointManager:
         )
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

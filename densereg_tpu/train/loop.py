@@ -189,7 +189,10 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             if (step % tcfg.checkpoint_every == 0 or step + 1 == max_steps
                     or preempted["flag"]):
                 _flush_guard()  # never checkpoint a diverged state
-                ckpt.save(state)
+                # cadence saves commit asynchronously (the d2h fetch + disk
+                # write overlap the next steps); exits need durability NOW
+                ckpt.save(state,
+                          block=preempted["flag"] or step + 1 == max_steps)
             if preempted["flag"]:
                 log.write(f"[train] SIGTERM: checkpointed step "
                           f"{int(state.step)} and stopping")

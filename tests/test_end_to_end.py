@@ -358,6 +358,32 @@ def test_checkpoint_retention(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save_round_trips(tmp_path):
+    """Cadence saves commit asynchronously (block=False); after wait() the
+    checkpoint must be fully durable and byte-equivalent to a blocking
+    save, including back-to-back async saves (orbax serializes them)."""
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.checkpoint import CheckpointManager
+    import jax
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig(batch_size=2, sub_batch=1)
+    state = create_train_state(jax.random.key(0), NET, tcfg, 10.0)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    for s in (3, 5):
+        mgr.save(state.replace(step=jnp.asarray(s, jnp.int32)), block=False)
+    mgr.wait()
+    assert mgr.latest_step() == 5
+
+    fresh = create_train_state(jax.random.key(1), NET, tcfg, 10.0)
+    restored = mgr.restore(fresh, 5)
+    assert int(restored.step) == 5
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
 def test_checkpoint_ema_cross_restore(tmp_path, caplog):
     """EMA presence mismatches between template and disk resolve safely:
     an EMA template over a no-EMA checkpoint RE-SEEDS the shadows from the
