@@ -125,6 +125,46 @@ def test_test_pipeline_u16_wire_end_to_end(tmp_path):
     np.testing.assert_allclose(e_q, e_f, atol=0.05)
 
 
+def test_test_pipeline_u16_wire_on_mesh(tmp_path):
+    """Under a device mesh the uint16 dm shards over the data axis while
+    dm_scale stays an (unsharded) broadcast scalar; the sharded infer
+    matches the single-device result."""
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu.config import EvalConfig, NetConfig
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import TestPipeline
+    from densereg_tpu.eval.loop import make_infer_fn
+    from densereg_tpu.models import DenseRegNet
+    from densereg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    spec = get_dataset("synthetic", "testing", directory=str(tmp_path),
+                       num_shards=1, samples_per_shard=8)
+    pipe = TestPipeline(spec, batch_size=8, input_hw=(32, 32), mesh=mesh,
+                        host_preprocess=True, wire_dtype="uint16")
+    batch = next(iter(pipe))
+    assert batch["dm"].dtype == jnp.uint16
+    assert len(batch["dm"].sharding.device_set) == len(jax.devices())
+
+    net_cfg = NetConfig(num_stack=1, num_fea=8, num_joint=spec.jnt_num,
+                        input_hw=(32, 32), compute_dtype="float32")
+    net = DenseRegNet(net_cfg)
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 32, 32, 1)), train=False)
+    sharded = make_infer_fn(net_cfg, EvalConfig(batch_size=8), mesh=mesh)
+    single = make_infer_fn(net_cfg, EvalConfig(batch_size=8))
+    got = np.asarray(sharded(variables, batch["dm"], batch["cfg"],
+                             batch["com"], batch["dm_scale"]))
+    ref = np.asarray(single(
+        variables, jnp.asarray(np.asarray(batch["dm"])),
+        jnp.asarray(np.asarray(batch["cfg"])),
+        jnp.asarray(np.asarray(batch["com"])),
+        jnp.asarray(np.asarray(batch["dm_scale"]))))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_train_pipeline_u16_wire_matches_f32(tmp_path):
     """InputPipeline's consumer-side dequantize reproduces the float32-wire
     batches (same seed, single worker => identical order)."""
