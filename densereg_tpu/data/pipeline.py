@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -265,7 +265,8 @@ class TestPipeline:
     def __init__(self, spec: DatasetSpec, batch_size: int,
                  input_hw=(128, 128), mesh=None,
                  host_preprocess: bool = False,
-                 wire_dtype: str = "float32"):
+                 wire_dtype: str = "float32",
+                 shard_slice: Optional[slice] = None):
         import jax
 
         from densereg_tpu.wire import WIRE_DTYPES
@@ -274,6 +275,11 @@ class TestPipeline:
         self.batch_size = batch_size
         self.input_hw = input_hw
         self.mesh = mesh
+        # shard_slice restricts iteration to a contiguous range of the
+        # DEDUPED non-empty shard list (see unique_readers) — the unit of
+        # multi-host eval partitioning (eval/loop.evaluate_multihost):
+        # contiguous ranges preserve dataset order under concatenation
+        self.shard_slice = shard_slice
         # same trade-off as InputPipeline.host_preprocess: crop on the host
         # CPU backend, ship cropped float32 instead of raw full frames
         self.host_preprocess = host_preprocess
@@ -288,29 +294,39 @@ class TestPipeline:
                              "uint16 frames)")
         self.wire_dtype = wire_dtype
         self._cpu = jax.devices("cpu")[0] if host_preprocess else None
-        # The eval path is single-controller: every host would emit the FULL
-        # global batch, so shard_batch's multi-host assembly would build a
-        # duplicated, num_hosts-times-oversized array.  Multi-host is
-        # train-only (InputPipeline partitions shards per host); eval runs
-        # in one process.
+        # The GSPMD eval path is single-controller: every host would emit
+        # the FULL global batch, so shard_batch's multi-host assembly would
+        # build a duplicated, num_hosts-times-oversized array.  Multi-host
+        # evaluation instead partitions SHARDS per process and merges the
+        # per-host result dumps (eval/loop.evaluate_multihost; the CLI
+        # `test` routes there automatically under jax.distributed).
         if mesh is not None and jax.process_count() > 1:
             raise NotImplementedError(
-                "TestPipeline does not partition input across hosts; "
-                "run evaluation in a single process (multi-host sharding "
-                "is train-only — see InputPipeline/partition_for_host)")
+                "TestPipeline cannot shard one global batch across hosts; "
+                "use eval.loop.evaluate_multihost (shard-partitioned, "
+                "local-device inference + rank-0 result merge)")
+
+    def unique_readers(self):
+        """The deduped, non-empty shard list in dataset order (the
+        reference duplicates its last shard for queue-capacity reasons;
+        iterating it twice would double-count frames)."""
+        out, seen = [], set()
+        for reader in self.spec.readers():
+            if reader.path in seen or len(reader) == 0:
+                continue
+            seen.add(reader.path)
+            out.append(reader)
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         h, w = self.input_hw
         cfg = self.spec.cfg.as_array()
         bs = self.batch_size
         buf_d, buf_p, buf_n, buf_b = [], [], [], []
-        seen_paths = set()
-        for reader in self.spec.readers():
-            if reader.path in seen_paths:  # reference dups the last shard
-                continue
-            seen_paths.add(reader.path)
-            if len(reader) == 0:
-                continue
+        readers = self.unique_readers()
+        if self.shard_slice is not None:
+            readers = readers[self.shard_slice]
+        for reader in readers:
             idxs = np.arange(len(reader))
             d, p, names, bbx = _load_frames(reader, idxs, self.spec)
             for i in range(len(idxs)):

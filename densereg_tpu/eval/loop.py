@@ -131,3 +131,91 @@ def evaluate_stream(infer_fn, variables, batches: Iterable[dict],
         "percentages": summarize_percentages(max_errors) if max_errors else {},
         "fps": n_done / max(dt, 1e-9),
     }
+
+
+def evaluate_multihost(infer_fn, variables, spec, batch_size, input_hw,
+                       result_path, error_path=None, log_fn=print,
+                       host_preprocess: bool = False,
+                       wire_dtype: str = "float32") -> dict:
+    """Multi-process evaluation: shard-partitioned, rank-0 result merge.
+
+    The reference test driver is strictly single-process
+    (/root/reference/model/test_model.py); under ``jax.distributed`` this
+    runs it embarrassingly parallel instead: each process evaluates a
+    CONTIGUOUS range of the deduped shard list on its own local devices
+    (no cross-host collective — eval has no gradient to synchronize),
+    writes ``<result_path>.part<k>``, and process 0 concatenates the
+    parts in shard order, so the merged dump is line-for-line identical
+    to a single-process run.  The reference ``exact_num`` truncation is
+    preserved globally by clamping each host's local frame budget against
+    the dataset-order cumulative count.
+
+    Returns the merged report on process 0 ({"num_frames": global, ...});
+    other processes return their local report.  ``result_path`` is
+    required (the part files are the merge transport) and must be
+    IDENTICAL across processes — derive it from shared state (checkpoint
+    step), never from per-host wall clock.
+    """
+    import os
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from densereg_tpu.data.pipeline import TestPipeline
+
+    if not result_path:
+        raise ValueError("evaluate_multihost requires result_path "
+                         "(part files are the merge transport)")
+    nproc = jax.process_count()
+    host = jax.process_index()
+
+    probe = TestPipeline(spec, batch_size, input_hw)
+    readers = probe.unique_readers()
+    counts = [len(r) for r in readers]
+    base, rem = divmod(len(readers), nproc)
+    lo = host * base + min(host, rem)
+    hi = lo + base + (1 if host < rem else 0)
+    cum_before = sum(counts[:lo])
+    local_total = sum(counts[lo:hi])
+    local_exact = max(
+        0, min(cum_before + local_total, spec.exact_num) - cum_before)
+    log_fn(f"[eval mh] process {host}/{nproc}: shards [{lo},{hi}) "
+           f"({local_exact} frames)")
+
+    pipe = TestPipeline(spec, batch_size, input_hw,
+                        host_preprocess=host_preprocess,
+                        wire_dtype=wire_dtype, shard_slice=slice(lo, hi))
+    part_res = f"{result_path}.part{host}"
+    report = evaluate_stream(infer_fn, variables, iter(pipe), local_exact,
+                             part_res, None, log_fn=log_fn)
+    np.save(f"{result_path}.errs{host}.npy",
+            np.asarray(report["max_errors"], np.float64))
+
+    multihost_utils.sync_global_devices("densereg_eval_parts")
+    if host == 0:
+        merged_errors = []
+        with open(result_path, "w") as out:
+            for h in range(nproc):
+                part = f"{result_path}.part{h}"
+                if os.path.exists(part):
+                    with open(part) as f:
+                        out.write(f.read())
+        for h in range(nproc):
+            errs = f"{result_path}.errs{h}.npy"
+            if os.path.exists(errs):
+                merged_errors.extend(np.load(errs).tolist())
+        if error_path and merged_errors:
+            write_error_curve(merged_errors, error_path)
+        report = {
+            "num_frames": sum(
+                len(open(f"{result_path}.part{h}").readlines())
+                for h in range(nproc)
+                if os.path.exists(f"{result_path}.part{h}")),
+            "max_errors": merged_errors,
+            "percentages": (summarize_percentages(merged_errors)
+                            if merged_errors else {}),
+            "fps": report["fps"],  # local-host rate; parts ran in parallel
+        }
+    # keep every process alive until the merge is on disk
+    multihost_utils.sync_global_devices("densereg_eval_merge")
+    return report

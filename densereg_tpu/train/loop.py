@@ -377,6 +377,27 @@ def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         params = state.ema_params
         log_fn("[test] evaluating EMA weights")
     variables = {"params": params, "batch_stats": state.batch_stats}
+
+    if jax.process_count() > 1:
+        # multi-process: shard-partitioned local inference + rank-0 merge
+        # (eval.loop.evaluate_multihost).  The dump name must be identical
+        # on every process, so it is derived from the restored step rather
+        # than per-host wall clock.
+        from densereg_tpu.eval.loop import evaluate_multihost
+
+        infer_fn = make_infer_fn(net_cfg, ecfg)
+        base = os.path.join(
+            train_dir, f"{spec.subset}-step{int(state.step)}")
+        report = evaluate_multihost(
+            infer_fn, variables, spec, ecfg.batch_size, net_cfg.input_hw,
+            f"{base}-result.txt", f"{base}-result_error.txt",
+            log_fn=log_fn, host_preprocess=ecfg.host_preprocess,
+            wire_dtype=ecfg.wire_dtype)
+        log_fn(f"[test] {report['num_frames']} frames @ "
+               f"{report['fps']:.1f} fps; {report['percentages']}")
+        ckpt.close()
+        return report
+
     infer_fn = make_infer_fn(net_cfg, ecfg, mesh=mesh)
     pipe = TestPipeline(spec, ecfg.batch_size, net_cfg.input_hw, mesh=mesh,
                         host_preprocess=ecfg.host_preprocess,

@@ -109,6 +109,27 @@ def main():
         leaves[jax.tree_util.keystr(path)] = np.asarray(leaf)
     np.savez(os.path.join(outdir, f"state_{pid}.npz"), **leaves)
 
+    # (e) multi-host evaluation: shard-partitioned local inference with
+    # the rank-0 merged dump (eval.loop.evaluate_multihost) — must equal
+    # the single-process dump line-for-line (parent asserts)
+    from densereg_tpu.config import EvalConfig
+    from densereg_tpu.eval.loop import evaluate_multihost, make_infer_fn
+    from densereg_tpu.models import DenseRegNet
+
+    tspec = get_dataset("synthetic", "testing", directory=data_dir,
+                        num_shards=4, samples_per_shard=8)
+    ENET = NetConfig(num_stack=1, num_fea=8, num_joint=tspec.jnt_num,
+                     input_hw=(32, 32))
+    net = DenseRegNet(ENET)
+    variables = net.init({"params": jax.random.key(3)},
+                         jnp.zeros((1, 32, 32, 1)), train=False)
+    infer = make_infer_fn(ENET, EvalConfig(batch_size=4))
+    rep = evaluate_multihost(
+        infer, variables, tspec, 4, (32, 32),
+        os.path.join(outdir, "mh-result.txt"),
+        os.path.join(outdir, "mh-result_error.txt"))
+    report["eval_frames"] = rep["num_frames"]
+
     with open(os.path.join(outdir, f"report_{pid}.json"), "w") as f:
         json.dump(report, f)
     jax.distributed.shutdown()

@@ -50,6 +50,8 @@ def worker_runs(tmp_path_factory):
 
     get_dataset("synthetic", "training", directory=data_dir, num_shards=4,
                 samples_per_shard=8)
+    get_dataset("synthetic", "testing", directory=data_dir, num_shards=4,
+                samples_per_shard=8)
 
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -141,3 +143,43 @@ def test_train_step_matches_single_process(worker_runs):
     g1 = np.load(outdir / "params_1.npz")
     for key in g0.files:
         np.testing.assert_array_equal(g0[key], g1[key])
+
+
+def test_multihost_eval_merges_to_single_process(worker_runs, tmp_path):
+    """The rank-0-merged multi-process result dump is line-for-line
+    identical to a single-process evaluate_stream run with the same
+    weights (shard partitioning is contiguous and batch-aligned here, so
+    even the batch groupings match)."""
+    import jax
+
+    from densereg_tpu.config import EvalConfig
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import TestPipeline
+    from densereg_tpu.eval.loop import evaluate_stream, make_infer_fn
+    from densereg_tpu.models import DenseRegNet
+
+    outdir, reports = worker_runs
+    spec = get_dataset("synthetic", "testing",
+                       directory=str(outdir / "data"),
+                       num_shards=4, samples_per_shard=8)
+    assert all(r["eval_frames"] in (spec.exact_num, 16) for r in reports)
+    assert reports[0]["eval_frames"] == spec.exact_num  # rank 0 = merged
+
+    enet = NetConfig(num_stack=1, num_fea=8, num_joint=spec.jnt_num,
+                     input_hw=(32, 32))
+    net = DenseRegNet(enet)
+    variables = net.init({"params": jax.random.key(3)},
+                         jnp.zeros((1, 32, 32, 1)), train=False)
+    infer = make_infer_fn(enet, EvalConfig(batch_size=4))
+    pipe = TestPipeline(spec, 4, (32, 32))
+    single_res = str(tmp_path / "single-result.txt")
+    evaluate_stream(infer, variables, iter(pipe), spec.exact_num,
+                    single_res, log_every=0)
+
+    merged = open(outdir / "mh-result.txt").read().splitlines()
+    single = open(single_res).read().splitlines()
+    assert len(merged) == len(single) == spec.exact_num
+    assert merged == single
+    # the merged error curve exists and has the reference's 17 lines
+    curve = open(outdir / "mh-result_error.txt").read().strip().splitlines()
+    assert len(curve) == 17
