@@ -100,7 +100,8 @@ def cmd_train(args) -> int:
                                num_workers=args.num_workers)
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
-          restore_step=restore, mesh=_mesh(args),
+          restore_step=restore, init_params=args.init_params,
+          mesh=_mesh(args),
           max_steps=args.max_steps, net_name=args.net_module,
           debug_level=args.debug_level)
     return 0
@@ -303,6 +304,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --host_preprocess: wire encoding of the "
                          "cropped batch (uint16 = per-batch fixed point, "
                          "half the bytes, <=0.005 mm quantization)")
+    pt.add_argument("--init_params", default=None,
+                    help="warm-start a fresh run from a converted-"
+                         "checkpoint msgpack (tools/convert_tf_checkpoint"
+                         ".py) — finetune from the released pretrained "
+                         "models; ignored when resuming")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("test", help="evaluate a checkpoint on the test split")

@@ -33,12 +33,44 @@ from densereg_tpu.utils.profiling import StepTimer
 from densereg_tpu.utils.tb import EventWriter
 
 
+def _assert_param_shapes(template, payload, what: str) -> None:
+    """Fail fast (with the offending paths) when a converted-checkpoint
+    payload does not match the model's parameter tree — the usual cause is
+    a --num_stack/--num_fea/--num_joint mismatch with the source model."""
+    keystr = jax.tree_util.keystr
+    tm = {keystr(k): tuple(v.shape)
+          for k, v in jax.tree_util.tree_leaves_with_path(template)}
+    pm = {keystr(k): tuple(np.shape(v))
+          for k, v in jax.tree_util.tree_leaves_with_path(payload)}
+    if tm.keys() != pm.keys():
+        missing = sorted(tm.keys() - pm.keys())
+        extra = sorted(pm.keys() - tm.keys())
+        raise ValueError(
+            f"{what}: parameter tree mismatch — missing {missing[:3]}, "
+            f"unexpected {extra[:3]} (check --num_stack/--num_fea/"
+            f"--num_joint against the converted model)")
+    bad = [(k, pm[k], tm[k]) for k in tm if tm[k] != pm[k]]
+    if bad:
+        k, got, want = bad[0]
+        raise ValueError(f"{what}: shape mismatch at {k}: {got} vs {want} "
+                         f"(+{len(bad) - 1} more)")
+
+
 def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
           val_spec: Optional[DatasetSpec] = None,
           restore_step: Optional[int] = None, mesh=None,
           max_steps: Optional[int] = None, net_name: str = "um_v1",
-          debug_level: int = 1, log_fn=print):
-    """Train on a dataset; returns the final TrainState."""
+          debug_level: int = 1, init_params: Optional[str] = None,
+          log_fn=print):
+    """Train on a dataset; returns the final TrainState.
+
+    ``init_params`` warm-starts a FRESH run (step 0, fresh optimizer
+    slots) from a converted-checkpoint msgpack
+    (``densereg_tpu.convert`` / ``tools/convert_tf_checkpoint.py``) —
+    the finetune-from-released-pretrained workflow the reference only
+    supports implicitly by dropping checkpoint files into the train dir
+    (/root/reference/model/train_single_gpu.py:120-123).  A checkpoint
+    restore (``restore_step``/auto-resume) takes precedence."""
     if val_spec is not None and val_spec.jnt_num != spec.jnt_num:
         raise ValueError("validation dataset must share the joint count "
                          "(cf. /root/reference/model/hourglass_um_crop_tiny"
@@ -67,6 +99,20 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     if restore_step is not None and restore_step != 0:
         state = ckpt.restore(state, restore_step)
         log_fn(f"[train] restored step {int(state.step)} from {train_dir}")
+    elif init_params is not None:
+        from densereg_tpu.convert import load_converted
+
+        payload = load_converted(init_params)
+        _assert_param_shapes(state.params, payload["params"], init_params)
+        state = state.replace(
+            params=payload["params"],
+            batch_stats=payload.get("batch_stats", state.batch_stats),
+            renorm_t=jnp.asarray(
+                payload.get("renorm_t", state.renorm_t), jnp.float32),
+            ema_params=(payload["params"]
+                        if state.ema_params is not None else None))
+        log_fn(f"[train] warm-started params from {init_params} "
+               f"(fresh optimizer, step 0)")
 
     summary_dir = os.path.join(train_dir, "summary")
     events = EventWriter(summary_dir)

@@ -358,6 +358,47 @@ def test_checkpoint_retention(tmp_path):
     mgr.close()
 
 
+def test_train_init_params_warm_start(tmp_path):
+    """--init_params warm-starts a fresh run from a converted-checkpoint
+    msgpack: params/batch_stats/renorm_t adopted exactly, optimizer fresh,
+    step 0; a payload from a different architecture fails fast with the
+    offending path."""
+    import jax.numpy as jnp
+
+    from densereg_tpu.convert import save_converted
+    from densereg_tpu.train import create_train_state
+
+    spec = get_dataset("synthetic", "training", directory=str(tmp_path),
+                       num_shards=1, samples_per_shard=8)
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       base_dir=str(tmp_path / "cache"))
+    donor = create_train_state(jax.random.key(99), NET, tcfg, 10.0)
+    payload_path = str(tmp_path / "donor.msgpack")
+    save_converted({"params": donor.params,
+                    "batch_stats": donor.batch_stats,
+                    "renorm_t": np.float32(0.5)}, payload_path)
+
+    state = run_train(spec, NET, tcfg, max_steps=0,
+                      init_params=payload_path, log_fn=lambda *a: None)
+    for a, b in zip(jax.tree_util.tree_leaves(donor.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(state.renorm_t), 0.5)
+    assert int(state.step) == 0
+
+    small = create_train_state(
+        jax.random.key(0),
+        NetConfig(num_stack=1, num_fea=4, num_joint=16, input_hw=(32, 32)),
+        tcfg, 10.0)
+    bad_path = str(tmp_path / "bad.msgpack")
+    save_converted({"params": small.params,
+                    "batch_stats": small.batch_stats,
+                    "renorm_t": np.float32(0.0)}, bad_path)
+    with pytest.raises(ValueError, match="shape mismatch|tree mismatch"):
+        run_train(spec, NET, tcfg, max_steps=0, init_params=bad_path,
+                  log_fn=lambda *a: None)
+
+
 def test_checkpoint_async_save_round_trips(tmp_path):
     """Cadence saves commit asynchronously (block=False); after wait() the
     checkpoint must be fully durable and byte-equivalent to a blocking
