@@ -97,6 +97,7 @@ def cmd_train(args) -> int:
                                ema_decay=args.ema_decay,
                                host_preprocess=args.host_preprocess,
                                wire_dtype=args.wire_dtype,
+                               keep_best=args.keep_best,
                                num_workers=args.num_workers)
     restore = "auto" if args.resume else args.restore_step
     train(train_spec, net, tcfg, val_spec=val_spec,
@@ -119,7 +120,7 @@ def cmd_test(args) -> int:
                       wire_dtype=args.wire_dtype)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
          mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module,
-         use_ema=args.use_ema)
+         use_ema=args.use_ema, use_best=args.use_best)
     return 0
 
 
@@ -304,6 +305,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --host_preprocess: wire encoding of the "
                          "cropped batch (uint16 = per-batch fixed point, "
                          "half the bytes, <=0.005 mm quantization)")
+    pt.add_argument("--keep_best", action="store_true",
+                    help="track the best-validation-error checkpoint in a "
+                         "retention-protected ckpt_best/ slot (evaluate it "
+                         "with `test --use_best`)")
     pt.add_argument("--init_params", default=None,
                     help="warm-start a fresh run from a converted-"
                          "checkpoint msgpack (tools/convert_tf_checkpoint"
@@ -320,6 +325,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--use_ema", action="store_true",
                     help="evaluate EMA weights (run must be trained with "
                          "--ema_decay)")
+    pe.add_argument("--use_best", action="store_true",
+                    help="evaluate the best-validation checkpoint (run "
+                         "must be trained with --keep_best)")
     pe.add_argument("--host_preprocess", action="store_true",
                     help="crop on the host CPU backend; transfer cropped "
                          "float32 (remote-relay transfer optimization)")

@@ -138,6 +138,11 @@ class TrainConfig:
     # retained checkpoints (the reference's tf.train.Saver default
     # max_to_keep=5, train_single_gpu.py:108); None keeps everything
     keep_checkpoints: Optional[int] = 5
+    # additionally track the best-validation-error checkpoint in a
+    # retention-protected ckpt_best/ slot (+ best.json marker); evaluate it
+    # with `test --use_best`.  No reference analogue (tf.train.Saver keeps
+    # the last 5 only) — off by default for parity
+    keep_best: bool = False
     # weight/grad histogram summaries to the TensorBoard event file
     # (train_single_gpu.py:91-95 writes them every summary step; here the
     # cadence is separate because it fetches the full parameter and gradient

@@ -148,6 +148,20 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     log_fn(f"[train] lr decays per {decay_steps} steps x{tcfg.lr_decay_factor}"
            f"; init lr {tcfg.init_lr}; {max_steps} total steps")
 
+    # best-checkpoint tracking (TrainConfig.keep_best): a separate keep-1
+    # manager so the rolling keep-5 retention never collects the best slot
+    best_ckpt = None
+    best = {"err": float("inf"), "step": -1}
+    best_marker = os.path.join(train_dir, "best.json")
+    if val_spec is not None and tcfg.keep_best:
+        import json as _json
+
+        best_ckpt = CheckpointManager(os.path.join(train_dir, "ckpt_best"),
+                                      max_to_keep=1)
+        if os.path.exists(best_marker):  # survives resume
+            with open(best_marker) as f:
+                best = _json.load(f)
+
     samples_per_step = tcfg.batch_size * tcfg.sub_batch
     timer = StepTimer()
     data_iter = device_prefetch(iter(pipeline), depth=2)
@@ -230,8 +244,19 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             if with_grads and step % tcfg.histogram_every == 0:
                 _write_histograms(events, state.params, grads, step)
             if val_spec is not None and step % tcfg.validate_every == 0:
-                _validate(infer_fn, state, next(val_iter), log, step,
-                          log_fn, image_writer, spec.name, events)
+                val_err = _validate(infer_fn, state, next(val_iter), log,
+                                    step, log_fn, image_writer, spec.name,
+                                    events)
+                if best_ckpt is not None and val_err < best["err"]:
+                    import json as _json
+
+                    _flush_guard()  # never checkpoint a diverged state
+                    best_ckpt.save(state, block=False)
+                    best = {"err": val_err, "step": int(state.step)}
+                    with open(best_marker, "w") as f:
+                        _json.dump(best, f)
+                    log_fn(f"[train] new best validation error "
+                           f"{val_err:.3f} mm at step {best['step']}")
             if (step % tcfg.checkpoint_every == 0 or step + 1 == max_steps
                     or preempted["flag"]):
                 _flush_guard()  # never checkpoint a diverged state
@@ -266,6 +291,8 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         log.close()
         metrics_log.close()
         events.close()
+        if best_ckpt is not None:
+            best_ckpt.close()
         ckpt.close()
 
 
@@ -378,20 +405,22 @@ def _validate(infer_fn, state, batch, log, step, log_fn,
             np.concatenate([diff[i], dist[i][:, None]], axis=1)))
     log.write(f"validation error: {errs}")
     log_fn(f"[validate] step {step} maxJntError {errs}")
+    mean_err = float(np.mean(errs))
     if events is not None:
-        events.add_scalar("val/max_joint_error", float(np.mean(errs)), step)
+        events.add_scalar("val/max_joint_error", mean_err, step)
 
     if image_writer is not None:
         uvd = np.asarray(geometry.xyz2uvd(
             jnp.asarray(xyz), batch["cfg"])).reshape(xyz.shape[0], -1, 3)
         image_writer.save_batch_skeletons("val_pts", np.asarray(batch["dm"]),
                                           uvd, dataset_name, step)
+    return mean_err
 
 
 def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
          ecfg: EvalConfig = EvalConfig(), selected_step: Optional[int] = -1,
          mesh=None, net_name: str = "um_v1", train_spec: Optional[DatasetSpec] = None,
-         use_ema: bool = False, log_fn=print):
+         use_ema: bool = False, use_best: bool = False, log_fn=print):
     """Test driver (/root/reference/model/test_model.py): restore a
     checkpoint, stream the test split, dump predictions + error curve.
 
@@ -411,7 +440,10 @@ def test(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
 
     state = create_train_state(jax.random.key(0), net_cfg, tcfg,
                                steps_per_epoch)
-    ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"))
+    # --use_best evaluates the best-validation checkpoint tracked by
+    # TrainConfig.keep_best (train_dir/ckpt_best) instead of the latest
+    ckpt = CheckpointManager(os.path.join(
+        train_dir, "ckpt_best" if use_best else "ckpt"))
     state = ckpt.restore(state, selected_step)
     log_fn(f"[test] restored from {train_dir}")
 

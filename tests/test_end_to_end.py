@@ -358,6 +358,34 @@ def test_checkpoint_retention(tmp_path):
     mgr.close()
 
 
+def test_keep_best_tracks_and_evaluates(tmp_path):
+    """--keep_best maintains a retention-protected best-validation
+    checkpoint + marker, and `test --use_best` restores from it."""
+    import dataclasses
+    import json
+
+    spec = get_dataset("synthetic", "training", directory=str(tmp_path),
+                       num_shards=1, samples_per_shard=8)
+    val = get_dataset("synthetic", "validation", directory=str(tmp_path),
+                      num_shards=1, samples_per_shard=4)
+    tspec = get_dataset("synthetic", "testing", directory=str(tmp_path),
+                        num_shards=1, samples_per_shard=4)
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False,
+                       base_dir=str(tmp_path / "cache"), validate_every=1,
+                       keep_best=True)
+    run_train(spec, NET, tcfg, val_spec=val, max_steps=2,
+              log_fn=lambda *a: None)
+
+    train_dir = glob.glob(str(tmp_path / "cache" / "*"))[0]
+    marker = json.load(open(os.path.join(train_dir, "best.json")))
+    assert marker["step"] >= 0 and np.isfinite(marker["err"])
+    assert os.path.isdir(os.path.join(train_dir, "ckpt_best"))
+
+    report = run_test(tspec, NET, tcfg, EvalConfig(batch_size=2),
+                      train_spec=spec, use_best=True, log_fn=lambda *a: None)
+    assert report["num_frames"] == tspec.exact_num
+
+
 def test_train_init_params_warm_start(tmp_path):
     """--init_params warm-starts a fresh run from a converted-checkpoint
     msgpack: params/batch_stats/renorm_t adopted exactly, optimizer fresh,
