@@ -273,12 +273,16 @@ def main():
     cpu_fps = None
     if os.path.exists(BASELINE_FILE) and not os.environ.get(
             "BENCH_REMEASURE_CPU"):
-        with open(BASELINE_FILE) as f:
-            cpu_fps = json.load(f).get("cpu_fps")
+        try:
+            with open(BASELINE_FILE) as f:
+                cpu_fps = json.load(f).get("cpu_fps")
+        except (json.JSONDecodeError, OSError):
+            cpu_fps = None  # corrupt/partial file: fall through to remeasure
     if cpu_fps is None and on_accel:
         try:
             cpu = jax.devices("cpu")[0]
-            cpu_fps = _measure(cpu, CPU_BATCH, "float32", iters=2, warmup=1)
+            cpu_fps, _ = _measure(cpu, CPU_BATCH, "float32", iters=2,
+                                  warmup=1)
             with open(BASELINE_FILE, "w") as f:
                 json.dump({"cpu_fps": cpu_fps, "batch": CPU_BATCH}, f)
         except Exception:

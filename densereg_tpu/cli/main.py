@@ -252,7 +252,7 @@ def cmd_predict(args) -> int:
         if bbxs.shape[0] != len(paths):
             raise SystemExit(f"{args.bbx_file}: {bbxs.shape[0]} boxes for "
                              f"{len(paths)} images")
-    else:  # full-frame box; the crop keeps depth < com+threshold
+    else:  # full-frame box; the crop culls depth >= depth_threshold (mm)
         bbxs = np.tile(np.asarray(
             [0, 0, h, w, args.depth_threshold], np.float32), (len(paths), 1))
 

@@ -220,11 +220,12 @@ class InputPipeline:
                 # only ships the cropped batch over the wire (async dispatch)
                 item = self._q.get()
                 if self.wire_dtype == "uint16":
+                    from densereg_tpu.wire import decode_dm_u16
+
                     q, scale, pose, cfgs, coms = item
                     # dequantize on device: one fused elementwise pass over
                     # the batch, paid once vs half the wire bytes
-                    dm = jnp.asarray(q).astype(jnp.float32) \
-                        * jnp.asarray(scale)
+                    dm = decode_dm_u16(jnp.asarray(q), jnp.asarray(scale))
                     pose, cfgs, coms = (jnp.asarray(x)
                                         for x in (pose, cfgs, coms))
                 else:

@@ -194,23 +194,35 @@ def evaluate_multihost(infer_fn, variables, spec, batch_size, input_hw,
     multihost_utils.sync_global_devices("densereg_eval_parts")
     if host == 0:
         merged_errors = []
+        n_merged = 0
         with open(result_path, "w") as out:
             for h in range(nproc):
                 part = f"{result_path}.part{h}"
-                if os.path.exists(part):
-                    with open(part) as f:
-                        out.write(f.read())
+                if not os.path.exists(part):
+                    # every host writes its part (possibly empty) before the
+                    # barrier; a missing file means result_path is not on a
+                    # filesystem all hosts share — refuse to emit a silently
+                    # truncated dump
+                    raise FileNotFoundError(
+                        f"{part} missing after the parts barrier: "
+                        f"result_path must be on a filesystem shared by "
+                        f"all {nproc} processes")
+                with open(part) as f:
+                    for line in f:
+                        out.write(line)
+                        n_merged += 1
         for h in range(nproc):
-            errs = f"{result_path}.errs{h}.npy"
-            if os.path.exists(errs):
-                merged_errors.extend(np.load(errs).tolist())
+            merged_errors.extend(np.load(f"{result_path}.errs{h}.npy")
+                                 .tolist())
+        expected = min(sum(counts), spec.exact_num)
+        if n_merged != expected:
+            raise RuntimeError(
+                f"merged result has {n_merged} frames, expected {expected} "
+                f"— a host evaluated a wrong shard range or dropped frames")
         if error_path and merged_errors:
             write_error_curve(merged_errors, error_path)
         report = {
-            "num_frames": sum(
-                len(open(f"{result_path}.part{h}").readlines())
-                for h in range(nproc)
-                if os.path.exists(f"{result_path}.part{h}")),
+            "num_frames": n_merged,
             "max_errors": merged_errors,
             "percentages": (summarize_percentages(merged_errors)
                             if merged_errors else {}),

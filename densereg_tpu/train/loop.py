@@ -153,7 +153,11 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     best_ckpt = None
     best = {"err": float("inf"), "step": -1}
     best_marker = os.path.join(train_dir, "best.json")
-    if val_spec is not None and tcfg.keep_best:
+    best_batch = None  # FIXED scoring batch, captured at first validation
+    if tcfg.keep_best and val_spec is None:
+        log_fn("[train] --keep_best ignored: no validation split for this "
+               "dataset/subset, so there is no error signal to rank by")
+    elif val_spec is not None and tcfg.keep_best:
         import json as _json
 
         best_ckpt = CheckpointManager(os.path.join(train_dir, "ckpt_best"),
@@ -244,19 +248,33 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             if with_grads and step % tcfg.histogram_every == 0:
                 _write_histograms(events, state.params, grads, step)
             if val_spec is not None and step % tcfg.validate_every == 0:
-                val_err = _validate(infer_fn, state, next(val_iter), log,
-                                    step, log_fn, image_writer, spec.name,
-                                    events)
-                if best_ckpt is not None and val_err < best["err"]:
-                    import json as _json
+                val_batch = next(val_iter)
+                _validate(infer_fn, state, val_batch, log, step, log_fn,
+                          image_writer, spec.name, events)
+                if best_ckpt is not None:
+                    # rank on a FIXED batch (the first validation batch,
+                    # reused every pass) — the rotating display batch would
+                    # make "best" track batch difficulty, not model quality
+                    if best_batch is None:
+                        best_batch = val_batch
+                    from densereg_tpu.eval.metrics import max_joint_error
 
-                    _flush_guard()  # never checkpoint a diverged state
-                    best_ckpt.save(state, block=False)
-                    best = {"err": val_err, "step": int(state.step)}
-                    with open(best_marker, "w") as f:
-                        _json.dump(best, f)
-                    log_fn(f"[train] new best validation error "
-                           f"{val_err:.3f} mm at step {best['step']}")
+                    variables = {"params": state.params,
+                                 "batch_stats": state.batch_stats}
+                    xyz = infer_fn(variables, best_batch["dm"],
+                                   best_batch["cfg"], best_batch["com"])
+                    val_err = float(np.mean(np.asarray(max_joint_error(
+                        np.asarray(xyz), np.asarray(best_batch["pose"])))))
+                    if val_err < best["err"]:
+                        import json as _json
+
+                        _flush_guard()  # never checkpoint a diverged state
+                        best_ckpt.save(state, block=False)
+                        best = {"err": val_err, "step": int(state.step)}
+                        with open(best_marker, "w") as f:
+                            _json.dump(best, f)
+                        log_fn(f"[train] new best validation error "
+                               f"{val_err:.3f} mm at step {best['step']}")
             if (step % tcfg.checkpoint_every == 0 or step + 1 == max_steps
                     or preempted["flag"]):
                 _flush_guard()  # never checkpoint a diverged state

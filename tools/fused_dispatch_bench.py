@@ -168,9 +168,10 @@ def main():
             for i in range(iters):
                 item = q.get()
                 if wire_u16:
+                    from densereg_tpu.wire import decode_dm_u16
+
                     qdm, scale, pose, cfgs, coms = item
-                    dm = jnp.asarray(qdm).astype(jnp.float32) \
-                        * jnp.asarray(scale)
+                    dm = decode_dm_u16(jnp.asarray(qdm), jnp.asarray(scale))
                     pose, cfgs, coms = (jnp.asarray(x)
                                         for x in (pose, cfgs, coms))
                 else:
