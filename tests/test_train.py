@@ -201,3 +201,32 @@ def test_fused_dispatch_matches_two_dispatch(rng):
                      jax.tree_util.tree_leaves(s_f.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_training_is_deterministic_given_seed():
+    """Two independent runs of the same jitted step sequence (same seed,
+    same batches, augmentation ON so the dropout/warp PRNG paths are
+    included) produce bit-identical parameters — the reproducibility
+    contract a production trainer owes its users (the reference makes no
+    such guarantee: TF queue runners interleave nondeterministically)."""
+    tcfg = TrainConfig(batch_size=2, sub_batch=2, augment=True)
+    batch = make_batch(np.random.default_rng(11), tcfg.sub_batch,
+                       tcfg.batch_size)
+    step = make_train_step(NET, tcfg, donate=False)
+
+    def run():
+        state = create_train_state(jax.random.key(3), NET, tcfg, 100.0)
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.key(100 + i))
+        return state
+
+    s1, s2 = run(), run()
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s2.params)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(path))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
