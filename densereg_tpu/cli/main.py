@@ -212,7 +212,8 @@ def cmd_export(args) -> int:
     pred = Predictor.from_checkpoint(
         train_dir, net, test_spec.cfg, step=args.selected_step,
         max_batch=args.batch_size, quantize=args.quantize,
-        use_ema=args.use_ema, ema_decay=args.ema_decay)
+        use_ema=args.use_ema, use_best=args.use_best,
+        ema_decay=args.ema_decay)
     out = args.out or f"{desc}.drexpt"
     export_predictor(pred, out, platforms=tuple(args.platforms.split(",")))
     print(f"[export] wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
@@ -271,7 +272,7 @@ def cmd_predict(args) -> int:
             os.path.join(args.base_dir, desc), net, test_spec.cfg,
             step=args.selected_step, max_batch=args.batch_size,
             quantize=args.quantize, use_ema=args.use_ema,
-            ema_decay=args.ema_decay)
+            use_best=args.use_best, ema_decay=args.ema_decay)
 
     xyz = pred(frames, bbxs)
     with ResultWriter(args.out) as wtr:
@@ -373,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--use_ema", action="store_true",
                     help="export the EMA weights (run trained with "
                          "--ema_decay)")
+    px.add_argument("--use_best", action="store_true",
+                    help="export the best-validation checkpoint (run "
+                         "trained with --keep_best)")
     px.add_argument("--ema_decay", type=float, default=None)
     px.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets")
@@ -403,6 +407,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--quantize", action="store_true",
                     help="serve the int8-weight graph")
     pp.add_argument("--use_ema", action="store_true")
+    pp.add_argument("--use_best", action="store_true")
     pp.add_argument("--ema_decay", type=float, default=None)
     pp.set_defaults(fn=cmd_predict)
     return p

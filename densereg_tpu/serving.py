@@ -112,10 +112,13 @@ class Predictor:
                         camera: CameraConfig, step: Optional[int] = -1,
                         use_ema: bool = False,
                         ema_decay: Optional[float] = None,
+                        use_best: bool = False,
                         **kwargs) -> "Predictor":
         """``use_ema`` serves the exponential-moving-average weights
         (requires a run trained with ``TrainConfig.ema_decay``; pass the
-        same ``ema_decay`` so the restore template matches)."""
+        same ``ema_decay`` so the restore template matches).  ``use_best``
+        serves the best-validation checkpoint tracked by
+        ``TrainConfig.keep_best`` (``train_dir/ckpt_best``)."""
         import os
 
         from densereg_tpu.config import TrainConfig
@@ -126,7 +129,8 @@ class Predictor:
             TrainConfig(ema_decay=ema_decay)
         state = create_train_state(jax.random.key(0), net_cfg, tcfg,
                                    steps_per_epoch=1.0)
-        mgr = CheckpointManager(os.path.join(train_dir, "ckpt"))
+        mgr = CheckpointManager(os.path.join(
+            train_dir, "ckpt_best" if use_best else "ckpt"))
         state = mgr.restore(state, step)
         mgr.close()
         params = state.params

@@ -385,6 +385,15 @@ def test_keep_best_tracks_and_evaluates(tmp_path):
                       train_spec=spec, use_best=True, log_fn=lambda *a: None)
     assert report["num_frames"] == tspec.exact_num
 
+    # the serving loader accepts the same selector
+    from densereg_tpu.serving import Predictor
+
+    pred = Predictor.from_checkpoint(train_dir, NET, tspec.cfg,
+                                     use_best=True, max_batch=2)
+    frames = np.asarray(tspec.readers()[0]["depth"][:1])
+    out = pred(frames, np.asarray([[0, 0, 240, 320, 600.0]], np.float32))
+    assert out.shape == (1, 3 * tspec.jnt_num)
+
 
 def test_train_init_params_warm_start(tmp_path):
     """--init_params warm-starts a fresh run from a converted-checkpoint
