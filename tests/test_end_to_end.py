@@ -277,6 +277,24 @@ def test_cli_predict(tmp_path):
     _, xyz2 = read_result_file(out2)
     np.testing.assert_allclose(xyz2, xyz, atol=1e-3)
 
+    # explicit per-image boxes (--bbx_file, the nyu_bbx.pkl contract as
+    # text): full-frame boxes must reproduce the default-box predictions
+    bbx = str(tmp_path / "boxes.txt")
+    with open(bbx, "w") as f:
+        for _ in range(3):
+            f.write("0 0 240 320 500.0\n")
+    out3 = str(tmp_path / "pred3.txt")
+    assert cli_main(["predict", *common, "--images", str(img_dir),
+                     "--bbx_file", bbx, "--out", out3]) == 0
+    _, xyz3 = read_result_file(out3)
+    np.testing.assert_allclose(xyz3, xyz, atol=1e-4)
+    # row-count mismatch fails fast
+    with open(bbx, "a") as f:
+        f.write("0 0 240 320 500.0\n")
+    with pytest.raises(SystemExit, match="boxes for"):
+        cli_main(["predict", *common, "--images", str(img_dir),
+                  "--bbx_file", bbx, "--out", out3])
+
 
 def test_graft_entry_dryrun_multichip():
     """The driver contract: dryrun_multichip must self-provision a virtual
