@@ -165,6 +165,42 @@ def test_test_pipeline_u16_wire_on_mesh(tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_test_pipeline_u16_wire_bbx_path(tmp_path):
+    """The NYU-style bbx crop route through host_preprocess + uint16 wire:
+    the quantized batch must match the float32-wire batch to the codec
+    bound (same boxes, same frames)."""
+    from densereg_tpu.config import CameraConfig
+    from densereg_tpu.data.base import DatasetSpec, ShardWriter
+    from densereg_tpu.data.pipeline import TestPipeline
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "bbx-0-of-1.npz")
+    with ShardWriter(path) as w:
+        for i in range(4):
+            depth = np.full((120, 160), 900, np.uint16)
+            depth[40:80, 60:110] = rng.integers(380, 460, (40, 50))
+            pose = rng.uniform(-30, 30, (14, 3)).astype(np.float32)
+            pose[:, 2] = rng.uniform(380, 460, 14)
+            w.add(depth, pose, f"f{i}", np.asarray([30, 50, 90, 120, 600],
+                                                   np.float32))
+    cam = CameraConfig(fx=120., fy=120., cx=80., cy=60., w=160, h=120)
+    spec = DatasetSpec(name="fake_nyu", subset="testing", cfg=cam,
+                       jnt_num=14, max_depth=600.0, directory=str(tmp_path),
+                       filenames=[path], exact_num=4, approximate_num=4,
+                       uses_bbx=True)
+
+    batches = {}
+    for wire in ("float32", "uint16"):
+        pipe = TestPipeline(spec, batch_size=4, input_hw=(32, 32),
+                            host_preprocess=True, wire_dtype=wire)
+        batches[wire] = next(iter(pipe))
+    f, q = batches["float32"], batches["uint16"]
+    assert q["dm"].dtype == np.uint16 and "dm_scale" in q
+    dm_q = np.asarray(q["dm"], np.float32) * np.asarray(q["dm_scale"])
+    np.testing.assert_allclose(dm_q, np.asarray(f["dm"]), atol=0.01)
+    np.testing.assert_array_equal(np.asarray(q["com"]), np.asarray(f["com"]))
+
+
 def test_train_pipeline_u16_wire_matches_f32(tmp_path):
     """InputPipeline's consumer-side dequantize reproduces the float32-wire
     batches (same seed, single worker => identical order)."""
