@@ -18,14 +18,31 @@ measure the SAME program on the local CPU backend (small batch, extrapolated
 per-frame) and report accelerator_fps / cpu_fps.  If no CPU backend is
 available the stored constant from exp/cpu_baseline.json is used.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+JSON contract — exactly one line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "platform": "<jax device platform the primary metric ran on>"}
+plus, when the harness fell back to the CPU backend because the
+accelerator was unreachable (relay outage — VERDICT r3 weak #2),
+  "degraded": true
+so cross-round tooling never mistakes a fallback line for a throughput
+regression.  A deliberate CPU run (JAX_PLATFORMS=cpu from the caller) is
+NOT marked degraded; only the in-harness re-exec sets it.
 
 On accelerators the object also carries secondary metrics (VERDICT r2
 item 6; BENCH_TRAIN=0 / BENCH_EVAL=0 disable):
   "train_samples_per_sec" — train step at the reference 40x5 config;
   "eval_loop_fps" — streaming host-fed eval loop (transfer-bound through
-  a remote-attached chip; compare only against other host-loop numbers).
+  a remote-attached chip; compare only against other host-loop numbers);
+  "eval_loop_wire" — the host->device feed dtype for that number;
+  "eval_loop_feed" — "test_pipeline" (default from round 4: the REAL
+  TestPipeline with host-CPU crop, the same code the CLI `test` runs) or
+  "arrays" (BENCH_FEED=arrays: the r3-style pre-generated-array feed —
+  use it when comparing against r3 captures).
+A failed secondary measurement drops its key and logs the exception to
+stderr (never silently — ADVICE r3).
+
+BENCH_STACK/BENCH_FEA/BENCH_JOINT/BENCH_INPUT shrink the network (contract
+tests use a tiny config; production defaults match the flagship s2/f128).
 """
 
 from __future__ import annotations
@@ -39,6 +56,10 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", "4"))
+STACK = int(os.environ.get("BENCH_STACK", "2"))
+FEA = int(os.environ.get("BENCH_FEA", "128"))
+JOINT = int(os.environ.get("BENCH_JOINT", "16"))
+INPUT = int(os.environ.get("BENCH_INPUT", "128"))
 # Committed one-time measurement of the same serving program on this image's
 # CPU backend (the reference's default platform); re-measure by deleting the
 # file or setting BENCH_REMEASURE_CPU=1.
@@ -57,14 +78,15 @@ def _build(batch, compute_dtype, use_pallas=False, quant=False):
     from densereg_tpu.eval.loop import make_infer_fn
     from densereg_tpu.models import DenseRegNet, fold_batch_norm
 
-    net_cfg = NetConfig(num_stack=2, num_fea=128, num_joint=16,
-                        input_hw=(128, 128), compute_dtype=compute_dtype)
+    net_cfg = NetConfig(num_stack=STACK, num_fea=FEA, num_joint=JOINT,
+                        input_hw=(INPUT, INPUT), compute_dtype=compute_dtype)
     net = DenseRegNet(net_cfg)
     rng = np.random.default_rng(0)
     dms = jnp.asarray(
-        rng.uniform(300.0, 500.0, (batch, 128, 128, 1)).astype(np.float32))
+        rng.uniform(300.0, 500.0, (batch, INPUT, INPUT, 1))
+        .astype(np.float32))
     variables = net.init({"params": jax.random.key(0)},
-                         jnp.zeros((1, 128, 128, 1)), train=False)
+                         jnp.zeros((1, INPUT, INPUT, 1)), train=False)
     if quant:
         # int8 serving path: folded BN + per-channel weight quantization +
         # static activation scales from a calibration pass.  This is the
@@ -87,7 +109,7 @@ def _build(batch, compute_dtype, use_pallas=False, quant=False):
         variables = fold_batch_norm(variables, eps=net_cfg.bn_epsilon)
         net_cfg = dataclasses.replace(net_cfg, fold_bn=True)
     icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
-    cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), 128, 128)[None],
+    cfgs = jnp.tile(geometry.scale_cfg(icvl.as_array(), INPUT, INPUT)[None],
                     (batch, 1))
     coms = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32), (batch, 1))
     infer = make_infer_fn(net_cfg, EvalConfig(batch_size=batch,
@@ -196,7 +218,7 @@ def _measure_eval_loop(infer, variables, cfgs, coms, batch, n_batches=4,
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
-    host = [rng.uniform(300.0, 500.0, (batch, 128, 128, 1))
+    host = [rng.uniform(300.0, 500.0, (batch, INPUT, INPUT, 1))
             .astype(np.float32) for _ in range(n_batches)]
     if wire == "uint16":
         from densereg_tpu.wire import encode_dm_u16
@@ -216,6 +238,39 @@ def _measure_eval_loop(infer, variables, cfgs, coms, batch, n_batches=4,
         float(jnp.sum(last))  # device executes in order -> fences each batch
         best = min(best, time.perf_counter() - t0)
     return batch * n_batches / best
+
+
+def _measure_eval_loop_real(infer, variables, batch, n_frames=None,
+                            wire="uint16", passes=2):
+    """Production feed path (VERDICT r3 #5): the actual ``TestPipeline``
+    (host-CPU crop + uint16 wire codec, exactly what the CLI
+    ``test --host_preprocess --wire_dtype uint16`` runs) streamed through
+    ``evaluate_stream`` over synthetic shards — the benched loop IS the
+    production loop (/root/reference/data/dataset_base.py:210-237 +
+    /root/reference/model/test_model.py:60-88 equivalent).
+
+    Shards are generated once and cached under /tmp; fps comes from
+    ``evaluate_stream``'s own report.  Best of ``passes`` warm passes
+    (relay-hiccup rule, see _measure_train)."""
+    from densereg_tpu.data.base import get_dataset
+    from densereg_tpu.data.pipeline import TestPipeline
+    from densereg_tpu.eval.loop import evaluate_stream
+
+    n_frames = n_frames or batch * 4
+    spec = get_dataset(
+        "synthetic", "testing",
+        directory=os.environ.get("BENCH_SYNTH_DIR", "/tmp/bench_synth"),
+        num_shards=max(1, n_frames // 256), samples_per_shard=min(256, n_frames))
+    n_frames = min(n_frames, spec.exact_num)
+
+    def one_pass():
+        pipe = TestPipeline(spec, batch, input_hw=(INPUT, INPUT),
+                            host_preprocess=True, wire_dtype=wire)
+        return evaluate_stream(infer, variables, iter(pipe), n_frames,
+                               log_fn=lambda *a: None)
+
+    one_pass()  # warm: compile + shard decode cache
+    return max(one_pass()["fps"] for _ in range(passes))
 
 
 def _devices_or_cpu_reexec(
@@ -255,7 +310,8 @@ def _devices_or_cpu_reexec(
         f"[bench] accelerator unreachable "
         f"({'hang' if 'error' not in out else out['error']}); "
         f"re-executing on the CPU backend\n")
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               BENCH_DEGRADED="1")
     os.execve(sys.executable,
               [sys.executable, os.path.abspath(__file__)], env)
 
@@ -299,19 +355,36 @@ def main():
     if on_accel and os.environ.get("BENCH_EVAL", "1") == "1" and ctx:
         wire = "float32" if os.environ.get("BENCH_WIRE") == "f32" \
             else "uint16"
+        # default feed is the REAL TestPipeline (VERDICT r3 #5: the benched
+        # path is the production path); BENCH_FEED=arrays reverts to the
+        # r3-style pre-generated-array transfer measurement
+        real_feed = os.environ.get("BENCH_FEED", "pipeline") != "arrays"
         for w in ([wire, "float32"] if wire == "uint16" else [wire]):
             try:
-                extras["eval_loop_fps"] = round(_measure_eval_loop(
-                    ctx[0], ctx[1], ctx[2], ctx[3], BATCH, wire=w), 2)
+                if real_feed:
+                    extras["eval_loop_fps"] = round(_measure_eval_loop_real(
+                        ctx[0], ctx[1], BATCH, wire=w), 2)
+                    extras["eval_loop_feed"] = "test_pipeline"
+                else:
+                    extras["eval_loop_fps"] = round(_measure_eval_loop(
+                        ctx[0], ctx[1], ctx[2], ctx[3], BATCH, wire=w), 2)
+                    extras["eval_loop_feed"] = "arrays"
                 extras["eval_loop_wire"] = w
                 break
             except Exception:
-                pass
+                # never silent (ADVICE r3): a regression in the eval-loop
+                # measurement path must be diagnosable from the capture
+                import traceback
+                sys.stderr.write(f"[bench] eval_loop_fps (wire={w}) "
+                                 f"failed:\n{traceback.format_exc()}")
     if on_accel and os.environ.get("BENCH_TRAIN", "1") == "1":
         try:
             extras["train_samples_per_sec"] = round(_measure_train(dev), 2)
         except Exception:
-            pass
+            import traceback
+            sys.stderr.write(
+                f"[bench] train_samples_per_sec failed:\n"
+                f"{traceback.format_exc()}")
 
     cpu_fps = None
     if os.path.exists(BASELINE_FILE) and not os.environ.get(
@@ -326,19 +399,26 @@ def main():
             cpu = jax.devices("cpu")[0]
             cpu_fps, _ = _measure(cpu, CPU_BATCH, "float32", iters=2,
                                   warmup=1)
-            with open(BASELINE_FILE, "w") as f:
-                json.dump({"cpu_fps": cpu_fps, "batch": CPU_BATCH}, f)
+            if (STACK, FEA, JOINT, INPUT) == (2, 128, 16, 128):
+                # only cache the flagship-config baseline — a tiny-knob
+                # run must never overwrite the committed reference number
+                with open(BASELINE_FILE, "w") as f:
+                    json.dump({"cpu_fps": cpu_fps, "batch": CPU_BATCH}, f)
         except Exception:
             cpu_fps = None
     vs = (value / cpu_fps) if cpu_fps else 1.0
 
+    degraded = {"degraded": True} if os.environ.get("BENCH_DEGRADED") else {}
     print(json.dumps({
-        "metric": "ICVL-style serving throughput (norm+hourglass s2f128"
+        "metric": "ICVL-style serving throughput (norm+hourglass s%df%d"
                   "+vote decode, batch %d, %s, %s)" % (
+                      STACK, FEA,
                       BATCH if on_accel else CPU_BATCH, dev.platform, mode),
         "value": round(value, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2),
+        "platform": dev.platform,
+        **degraded,
         **extras,
     }))
 

@@ -120,7 +120,8 @@ def cmd_test(args) -> int:
                       wire_dtype=args.wire_dtype)
     test(test_spec, net, tcfg, ecfg, selected_step=args.selected_step,
          mesh=_mesh(args), train_spec=train_spec, net_name=args.net_module,
-         use_ema=args.use_ema, use_best=args.use_best)
+         use_ema=args.use_ema, use_best=args.use_best,
+         init_params=args.init_params)
     return 0
 
 
@@ -340,6 +341,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--ema_decay", type=float, default=None,
                     help="must match the training run when using --use_ema "
                          "(shapes the restore template)")
+    pe.add_argument("--init_params", default=None,
+                    help="evaluate a converted-checkpoint msgpack directly "
+                         "(tools/convert_tf_checkpoint.py) — the "
+                         "reference's 'step -1 = downloaded pretrained' "
+                         "workflow; skips the Orbax restore")
     pe.set_defaults(fn=cmd_test)
 
     pc = sub.add_parser("convert", help="convert source datasets to shards")

@@ -143,6 +143,11 @@ class TrainConfig:
     # with `test --use_best`.  No reference analogue (tf.train.Saver keeps
     # the last 5 only) — off by default for parity
     keep_best: bool = False
+    # keep_best ranks checkpoints on a FIXED scoring set of this many
+    # validation frames (one-time deterministic draw from the start of the
+    # split; the split may provide fewer).  Max-joint-error over the
+    # display batch of 3 is far too noisy to rank on (VERDICT r3 weak #3).
+    best_score_frames: int = 64
     # weight/grad histogram summaries to the TensorBoard event file
     # (train_single_gpu.py:91-95 writes them every summary step; here the
     # cadence is separate because it fetches the full parameter and gradient

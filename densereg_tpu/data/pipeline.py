@@ -202,11 +202,17 @@ class InputPipeline:
                             item = (q, scale) + tuple(item[1:])
                     else:
                         item = (batch_d, batch_p)
-                    try:
-                        self._q.put(item, timeout=60)
-                    except queue.Full:
-                        if self._stop.is_set():
-                            return
+                    # retry until delivered: a first-batch TPU compile can
+                    # keep the prefetch queue full for minutes, and dropping
+                    # a composed batch here would silently break the seeded
+                    # determinism contract (ADVICE r3)
+                    while True:
+                        try:
+                            self._q.put(item, timeout=60)
+                            break
+                        except queue.Full:
+                            if self._stop.is_set():
+                                return
                 if self._stop.is_set():
                     return
 

@@ -1,0 +1,61 @@
+"""bench.py JSON contract (VERDICT r3 weak #2 / next #3).
+
+The driver records bench.py's single JSON line as BENCH_r{N}.json; when the
+accelerator is unreachable the harness re-execs onto the CPU backend, and
+that fallback line must be machine-readably distinguishable from a healthy
+capture so cross-round tooling never mistakes 9,550 fps -> 8 fps for a
+regression.  Contract: always a "platform" key; "degraded": true only on
+the in-harness fallback (BENCH_DEGRADED is set by the re-exec itself).
+
+Runs the real harness end-to-end on the CPU backend with a tiny network
+(BENCH_STACK/FEA/JOINT/INPUT knobs) so the compile is test-sized.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+TINY = {
+    "BENCH_STACK": "1", "BENCH_FEA": "8", "BENCH_JOINT": "3",
+    "BENCH_INPUT": "32", "BENCH_CPU_BATCH": "2",
+    "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+}
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ, **TINY, **extra_env)
+    env.pop("BENCH_DEGRADED", None)
+    env.update(extra_env)
+    proc = subprocess.run([sys.executable, str(ROOT / "bench.py")],
+                          env=env, cwd=str(ROOT), capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line: {proc.stdout!r}"
+    return json.loads(lines[0])
+
+
+@pytest.mark.slow
+def test_bench_json_contract_degraded_and_healthy_cpu():
+    # the re-exec'd fallback shape: BENCH_DEGRADED is set by the harness
+    # itself when it abandons an unreachable accelerator
+    out = _run_bench({"BENCH_DEGRADED": "1"})
+    for key in ("metric", "value", "unit", "vs_baseline", "platform"):
+        assert key in out, out
+    assert out["platform"] == "cpu"
+    assert out["degraded"] is True
+    assert out["unit"] == "frames/sec/chip"
+    assert out["value"] > 0
+
+    # a deliberate CPU run is NOT degraded (same program; cached compile)
+    out2 = _run_bench({})
+    assert "degraded" not in out2, out2
+    assert out2["platform"] == "cpu"

@@ -314,6 +314,45 @@ def test_graft_entry_dryrun_multichip():
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_is_relay_outage_proof(tmp_path):
+    """Simulated dead relay (VERDICT r3 #1): with the interpreter pinned to
+    the remote 'axon' platform — exactly the driver's shape during the r3
+    outage, where ``jax.devices()`` hung for the full timeout — the dryrun
+    must go subprocess-first and NEVER probe devices in the caller process.
+
+    ``jax.devices`` is replaced with a tripwire so any attach attempt fails
+    loudly instead of hanging."""
+    import pathlib
+    import subprocess
+    import sys
+    import textwrap
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    code = textwrap.dedent("""
+        import jax
+
+        def tripwire(*a, **k):
+            raise SystemExit(
+                "CONTRACT VIOLATION: dryrun probed jax.devices() in a "
+                "process pinned to a non-CPU platform")
+
+        jax.devices = tripwire
+        import __graft_entry__ as g
+        g.dryrun_multichip(2)
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="axon",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # plain import works; devices() =
+    # tripwire stands in for the hanging relay attach
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=str(root),
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CONTRACT VIOLATION" not in proc.stderr + proc.stdout
+    assert "2-device mesh OK" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
 def test_sigterm_preemption_checkpoints_and_stops(tmp_path):
     """TPU-VM preemption: SIGTERM mid-run must checkpoint at the next step
     boundary and stop cleanly (resumable), not die or run to max_steps."""
@@ -411,6 +450,77 @@ def test_keep_best_tracks_and_evaluates(tmp_path):
     frames = np.asarray(tspec.readers()[0]["depth"][:1])
     out = pred(frames, np.asarray([[0, 0, 240, 320, 600.0]], np.float32))
     assert out.shape == (1, 3 * tspec.jnt_num)
+
+
+def test_keep_best_ranks_on_fixed_scoring_set(tmp_path):
+    """VERDICT r3 #4: keep_best ranks on a fixed >=64-frame scoring set, so
+    a checkpoint that happens to ace the first display-batch-sized slice
+    (3 frames) but is worse overall can never displace a better one."""
+    import json
+
+    import jax.numpy as jnp
+
+    from densereg_tpu.train import create_train_state
+    from densereg_tpu.train.loop import BestTracker
+
+    val = get_dataset("synthetic", "validation", directory=str(tmp_path),
+                      num_shards=2, samples_per_shard=40)
+    tracker = BestTracker(val, NET.input_hw, str(tmp_path / "ckpt_best"),
+                          str(tmp_path / "best.json"),
+                          n_frames=64, batch_size=16)
+    batches = tracker.scoring_batches()
+    total = sum(b["valid"] for b in batches)
+    assert total >= 64, f"scoring set too small: {total}"
+    padded_total = sum(len(b["pose"]) for b in batches)
+
+    def make_infer(offsets):
+        """Fake model: returns GT + a per-frame x-offset (mm), so the
+        scoring error is exactly the offset schedule."""
+        idx = {"batch": 0, "frame": 0}
+
+        def infer(variables, dm, cfg, com):
+            b = batches[idx["batch"] % len(batches)]
+            idx["batch"] += 1
+            pose = np.array(b["pose"]).reshape(len(b["pose"]), -1, 3)
+            o = offsets[idx["frame"]:idx["frame"] + pose.shape[0]]
+            idx["frame"] = (idx["frame"] + pose.shape[0]) % len(offsets)
+            pose[:, :, 0] += o[:, None]
+            return pose.reshape(pose.shape[0], -1)
+
+        return infer
+
+    uniform_5mm = np.full(padded_total, 5.0)
+    # aces the first 3 frames (a batch-3 ranker would crown it) but is
+    # much worse over the set
+    lucky_3 = np.full(padded_total, 40.0)
+    lucky_3[:3] = 0.1
+    uniform_1mm = np.full(padded_total, 1.0)
+
+    tcfg = TrainConfig(batch_size=2, sub_batch=1, augment=False)
+    state = create_train_state(jax.random.key(0), NET, tcfg, 10.0)
+
+    err_a = tracker.maybe_update(make_infer(uniform_5mm),
+                                 state.replace(step=jnp.asarray(1)),
+                                 log_fn=lambda *a: None)
+    assert abs(err_a - 5.0) < 1e-3
+    assert tracker.best["step"] == 1
+
+    err_b = tracker.maybe_update(make_infer(lucky_3),
+                                 state.replace(step=jnp.asarray(2)),
+                                 log_fn=lambda *a: None)
+    assert err_b > err_a  # the 64-frame signal sees through the lucky 3
+    assert tracker.best["step"] == 1, "noisy checkpoint displaced the best"
+
+    # a genuinely better model still wins, and the marker is only written
+    # after the (blocking) save committed
+    tracker.maybe_update(make_infer(uniform_1mm),
+                         state.replace(step=jnp.asarray(3)),
+                         log_fn=lambda *a: None)
+    assert tracker.best["step"] == 3
+    marker = json.load(open(tmp_path / "best.json"))
+    assert marker["step"] == 3 and marker["frames"] == total
+    assert tracker.ckpt.latest_step() is not None
+    tracker.close()
 
 
 def test_train_init_params_warm_start(tmp_path):

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("ours")
     ap.add_argument("theirs")
     ap.add_argument("--curve_out", default=None)
+    ap.add_argument("--max_mean_delta", type=float, default=None,
+                    help="exit nonzero when the mean joint error exceeds "
+                         "this many mm (the golden-parity gate: 0.05)")
     args = ap.parse_args()
     rep = compare(args.ours, args.theirs)
     print(f"frames: {rep['frames']}")
@@ -61,7 +64,13 @@ def main():
         from densereg_tpu.eval.writer import write_error_curve
         write_error_curve(rep["per_frame_max"].tolist(), args.curve_out)
         print(f"curve -> {args.curve_out}")
+    if (args.max_mean_delta is not None
+            and rep["mean_joint_error_mm"] > args.max_mean_delta):
+        print(f"FAIL: {rep['mean_joint_error_mm']:.4f} mm > "
+              f"{args.max_mean_delta} mm gate")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
