@@ -22,7 +22,7 @@ from densereg_tpu.config import EvalConfig, NetConfig
 from densereg_tpu.eval.metrics import max_joint_error, summarize_percentages
 from densereg_tpu.eval.writer import ResultWriter, write_error_curve
 from densereg_tpu.models import DenseRegNet
-from densereg_tpu.preprocess import area_resize, norm_dm
+from densereg_tpu.preprocess import method2_resize, norm_dm
 
 
 def make_infer_fn(net_cfg: NetConfig, ecfg: EvalConfig = EvalConfig(),
@@ -53,7 +53,8 @@ def make_infer_fn(net_cfg: NetConfig, ecfg: EvalConfig = EvalConfig(),
         hms = outs["hm"][-1]
         hm3s = outs["hm3"][-1]
         ums = outs["um"][-1]
-        tiny = area_resize(normed, out_h, out_w)
+        # method-2 shrink of the test graph, hourglass_um_crop_tiny.py:453
+        tiny = method2_resize(normed, out_h, out_w)
         res = decode_mod.decode_poses(hms, hm3s, ums, tiny, cfgs, coms, ecfg)
         return res["xyz"]
 

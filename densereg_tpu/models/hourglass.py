@@ -27,7 +27,7 @@ from densereg_tpu.models.layers import (
     quantize_output,
     upsample_nearest_2x,
 )
-from densereg_tpu.preprocess import area_resize
+from densereg_tpu.preprocess import method2_resize
 
 
 def renorm_clip_schedule(t):
@@ -122,9 +122,9 @@ class DenseRegNet(nn.Module):
         hg_ins = res("stem_res3", c.num_fea)(y, **kw)
 
         out_h, out_w = c.output_hw
-        # Normalized per-pixel uvd grid + area-downsampled depth
+        # Normalized per-pixel uvd grid + method-2-downsampled depth
         # (um_v1.py:110-121): uu = col/(w/2) - 1, vv = row/(h/2) - 1.
-        tiny_dm = area_resize(dms, out_h, out_w).astype(dtype)
+        tiny_dm = method2_resize(dms, out_h, out_w).astype(dtype)
         uu = (jnp.arange(out_w, dtype=dtype) / (out_w / 2) - 1.0)[None, None, :, None]
         vv = (jnp.arange(out_h, dtype=dtype) / (out_h / 2) - 1.0)[None, :, None, None]
         b = dms.shape[0]

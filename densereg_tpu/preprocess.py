@@ -31,10 +31,10 @@ from densereg_tpu.config import D_RANGE
 # ---------------------------------------------------------------------------
 
 def area_resize(x, out_h, out_w):
-    """Integer-ratio AREA (box-mean) downsample, equal to
-    ``tf.image.resize_images(x, s, method=2)`` for exact-ratio shrinks
-    (used at /root/reference/model/hourglass_um_crop_tiny.py:340,453 and
-    /root/reference/network/um_v1.py:111 for the 128->32 shrink)."""
+    """Integer-ratio AREA (box-mean) downsample —
+    ``tf.image.resize_images(x, s, ResizeMethod.AREA)``.  NOT what the
+    reference's ``method=2`` resizes do (see :func:`method2_resize`); kept
+    as the antialiased option for from-scratch training."""
     h, w = x.shape[-3], x.shape[-2]
     if h % out_h or w % out_w:
         raise ValueError(f"area_resize needs integer ratio, got {h}x{w} -> {out_h}x{out_w}")
@@ -43,6 +43,28 @@ def area_resize(x, out_h, out_w):
     c = x.shape[-1]
     x = x.reshape(lead + (out_h, fh, out_w, fw, c))
     return x.mean(axis=(-4, -2))
+
+
+def method2_resize(x, out_h, out_w):
+    """The reference's ``tf.image.resize_images(x, s, 2)`` downsample.
+
+    In the TF1 enum ``2`` is **BICUBIC** (BILINEAR=0, NEAREST=1, BICUBIC=2,
+    AREA=3) with legacy coordinates (``src = dst * in/out``, no half-pixel
+    centers).  For the integer-ratio shrinks the reference performs
+    (/root/reference/network/um_v1.py:111 and
+    /root/reference/model/hourglass_um_crop_tiny.py:340,453, all 128->32)
+    the source coordinate is integral, the cubic weights collapse to
+    ``[0, 1, 0, 0]``, and the op is an EXACT point subsample ``x[::r, ::r]``
+    — verified against TF 2.21 ``compat.v1`` (max abs diff 0.0) and pinned
+    through the real reference graph in tests/test_tf_parity_realgraph.py.
+    (An earlier reading of ``method=2`` as AREA — SURVEY.md §7 repeats it —
+    produced ~1e-3 relative error on the hm3/um heads.)"""
+    h, w = x.shape[-3], x.shape[-2]
+    if h % out_h or w % out_w:
+        raise ValueError(
+            f"method2_resize needs integer ratio, got {h}x{w} -> {out_h}x{out_w}")
+    fh, fw = h // out_h, w // out_w
+    return x[..., ::fh, ::fw, :]
 
 
 def resize_bilinear(img, out_h, out_w):

@@ -27,9 +27,9 @@ from densereg_tpu import decode as decode_mod
 from densereg_tpu.config import CameraConfig, EvalConfig, NetConfig
 from densereg_tpu.models import DenseRegNet, fold_batch_norm
 from densereg_tpu.preprocess import (
-    area_resize,
     crop_from_bbx,
     center_of_mass,
+    method2_resize,
     norm_dm,
 )
 
@@ -85,7 +85,7 @@ class Predictor:
                 dms = jax.lax.with_sharding_constraint(dms, sh)
             normed = norm_dm(dms, coms)
             outs = net.apply(variables, normed, train=False)
-            tiny = area_resize(normed, out_h, out_w)
+            tiny = method2_resize(normed, out_h, out_w)
             res = decode_mod.decode_poses(outs["hm"][-1], outs["hm3"][-1],
                                           outs["um"][-1], tiny, cfgs, coms,
                                           ecfg)

@@ -161,11 +161,13 @@ def synthesize(poses, cfgs, coms, normed_dms, out_h, out_w):
       dict with ``hm2 (b,h,w,j)``, ``hm3 (b,h,w,j)``, ``um (b,h,w,3j)``,
       ``om (b,h,w,3j)``, ``tiny_dm (b,h,w,1)``.
     """
-    from densereg_tpu.preprocess import area_resize  # local import: no cycle
+    from densereg_tpu.preprocess import method2_resize  # local import: no cycle
 
     gt_hm2 = hm2d(poses, cfgs, out_h, out_w)
     normed_poses = geometry.norm_xyz_pose(poses, coms)
-    tiny_dm = area_resize(normed_dms, out_h, out_w)
+    # the reference's method-2 (TF1 bicubic == exact subsample at this
+    # integer ratio) shrink, hourglass_um_crop_tiny.py:340
+    tiny_dm = method2_resize(normed_dms, out_h, out_w)
     xyzs = geometry.backproject_dm(tiny_dm, cfgs, coms)
     om = offset_maps(normed_poses, xyzs)
     hm3 = hm3d(om)

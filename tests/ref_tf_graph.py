@@ -217,8 +217,10 @@ def np_forward(layers, dms, spec: GraphSpec, dtype=np.float32):
 
     b = dms.shape[0]
     oh = ow = spec.in_hw // 4
-    # um_v1.py:110: resize_images(..., method=2) == area == exact 4x4 mean
-    tiny = dms.reshape(b, oh, 4, ow, 4, 1).mean(axis=(2, 4))
+    # um_v1.py:111: resize_images(..., 2) = TF1 BICUBIC with legacy coords,
+    # which at this integer ratio is an exact ::4 point subsample (NOT area
+    # — method 2 in the TF1 enum is bicubic; verified vs tf.compat.v1)
+    tiny = dms[:, ::4, ::4, :]
     uu = np.broadcast_to(
         (np.arange(ow, dtype=dtype) / (ow / 2) - 1)[None, None, :, None],
         (b, oh, ow, 1))

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from densereg_tpu import geometry, preprocess
 from densereg_tpu.config import CameraConfig, D_RANGE
@@ -147,6 +148,23 @@ def test_area_resize_is_box_mean(rng):
     out = np.asarray(preprocess.area_resize(jnp.asarray(x), 32, 32))
     expect = x.reshape(2, 32, 4, 32, 4, 3).mean(axis=(2, 4))
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_method2_resize_is_exact_subsample(rng):
+    x = rng.normal(size=(2, 128, 128, 3)).astype(np.float32)
+    out = np.asarray(preprocess.method2_resize(jnp.asarray(x), 32, 32))
+    np.testing.assert_array_equal(out, x[:, ::4, ::4, :])
+
+
+def test_method2_resize_matches_tf1_method2(rng):
+    """Authoritative pin: the reference's ``tf.image.resize_images(x, s, 2)``
+    (TF1 enum 2 = BICUBIC, legacy coordinates) collapses to an exact point
+    subsample for integer-ratio shrinks — compare against real TF."""
+    tf = pytest.importorskip("tensorflow")
+    x = rng.normal(size=(2, 32, 32, 4)).astype(np.float32)
+    want = tf.compat.v1.image.resize_images(tf.constant(x), (8, 8), 2).numpy()
+    got = np.asarray(preprocess.method2_resize(jnp.asarray(x), 8, 8))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_resize_bilinear_legacy(rng):

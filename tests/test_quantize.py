@@ -57,7 +57,7 @@ def test_quantized_decode_pose_stability(rng):
     """End-to-end: int8 vs float decoded poses within ~2 mm on GT-like maps
     perturbed through the quantized network path."""
     from densereg_tpu import decode
-    from densereg_tpu.preprocess import area_resize, norm_dm
+    from densereg_tpu.preprocess import method2_resize, norm_dm
     from densereg_tpu import geometry
     from densereg_tpu.config import CameraConfig
 
@@ -74,7 +74,7 @@ def test_quantized_decode_pose_stability(rng):
     out_f = DenseRegNet(CFG).apply(variables, normed, train=False)
     out_q = DenseRegNet(quantized_net_config(CFG)).apply(quant, normed,
                                                          train=False)
-    tiny = area_resize(normed, 8, 8)
+    tiny = method2_resize(normed, 8, 8)
     cfg8 = geometry.scale_cfg(cfgs, 8, 8)
 
     def dec(out):
@@ -136,7 +136,7 @@ def test_int8_pose_delta_under_1mm_on_trained_net(rng):
     from densereg_tpu import decode, geometry
     from densereg_tpu.config import CameraConfig, TrainConfig
     from densereg_tpu.models.quantize import calibrate
-    from densereg_tpu.preprocess import area_resize, norm_dm
+    from densereg_tpu.preprocess import method2_resize, norm_dm
     from densereg_tpu.train import create_train_state, make_train_step
 
     net_cfg = dataclasses.replace(CFG, dropout_rate=0.0)
@@ -188,7 +188,7 @@ def test_int8_pose_delta_under_1mm_on_trained_net(rng):
     out_f = DenseRegNet(dataclasses.replace(net_cfg, fold_bn=True)).apply(
         folded, normed, train=False)
     out_q = DenseRegNet(qcfg).apply(quant, normed, train=False)
-    tiny = area_resize(normed, 8, 8)
+    tiny = method2_resize(normed, 8, 8)
     cfg8 = geometry.scale_cfg(batch["cfg"][0], 8, 8)
 
     def dec(out):
