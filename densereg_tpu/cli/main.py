@@ -37,6 +37,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kernel_size", type=int, default=3)
     p.add_argument("--net_module", default="um_v1",
                    choices=["um_v1", "um_v1_lite"])
+    p.add_argument("--input_size", type=int, default=128,
+                   choices=[32, 64, 128, 256, 512],
+                   help="square crop size; sets the hourglass depth "
+                        "(128->4, 256->5, 512->6, um_v1.py:99-107)")
     p.add_argument("--epoch", type=int, default=80)
     p.add_argument("--epochs_per_decay", type=int, default=None,
                    help="override the per-dataset LR decay horizon")
@@ -47,6 +51,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--base_dir", default="./exp/train_cache/")
     p.add_argument("--mesh", action=argparse.BooleanOptionalAction,
                    default=True, help="shard the batch over all devices")
+    # multi-host (jax.distributed): run the SAME command on every host with
+    # its own --process_id; the mesh then spans the global device set.
+    # Supersedes the reference's (broken) train_multi_gpu.py tower loop
+    # (/root/reference/model/train_multi_gpu.py) with single-controller
+    # SPMD over ICI/DCN.
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
 
 
 def _specs(args, subset_train="training", subset_test="testing"):
@@ -67,6 +80,7 @@ def _configs(args, jnt_num):
         "nyu": 10, "msra": 20}.get(args.dataset, 10)
     net = NetConfig(num_stack=args.num_stack, num_fea=args.num_fea,
                     kernel_size=args.kernel_size, num_joint=jnt_num,
+                    input_hw=(args.input_size, args.input_size),
                     compute_dtype=args.compute_dtype,
                     net_module=args.net_module)
     tcfg = TrainConfig(batch_size=args.batch_size, sub_batch=args.sub_batch,
@@ -421,6 +435,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "coordinator_address", None) is not None:
+        # must run before anything touches a jax backend
+        from densereg_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(args.coordinator_address, args.num_processes,
+                               args.process_id)
     return args.fn(args)
 
 

@@ -203,6 +203,10 @@ def model_desc(dataset_name: str, subset: str, net: NetConfig, augment: bool,
     ``<dataset>_<subset>_s<stack>_f<fea>[_daug]_<net>``
     (/root/reference/model/hourglass_um_crop_tiny.py:115-117,533-539)."""
     desc = f"{dataset_name}_{subset}_s{net.num_stack}_f{net.num_fea}"
+    if net.input_hw[0] != 128:
+        # non-reference crop sizes get their own namespace; the reference
+        # only ever trains at 128 so its exact convention is preserved there
+        desc += f"_in{net.input_hw[0]}"
     if augment:
         desc += "_daug"
     return f"{desc}_{net_name}"

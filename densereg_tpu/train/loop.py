@@ -82,8 +82,21 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
     name = model_desc(spec.name, spec.subset, net_cfg, tcfg.augment, net_name)
     train_dir = os.path.join(tcfg.base_dir, name)
     os.makedirs(train_dir, exist_ok=True)
-    log = TrainLogWriter(train_dir)
-    metrics_log = MetricLogger(os.path.join(train_dir, "metrics.jsonl"))
+    # Multi-process (jax.distributed): every process runs the SAME loop —
+    # all jit calls on global arrays (step, validation inference, best
+    # scoring) and all checkpoint saves are collective and must stay in
+    # lockstep — but host-side artifacts (metrics.jsonl, TB events, PNGs,
+    # best.json) are written by process 0 only; other processes keep a
+    # per-process text log so each host stays debuggable.  NOTE: SIGTERM
+    # preemption assumes the scheduler signals ALL processes (the TPU-VM
+    # maintenance contract); a single-process SIGTERM would diverge the
+    # collective save schedule.
+    lead = jax.process_index() == 0
+    log = TrainLogWriter(
+        train_dir, filename=("training_log.txt" if lead else
+                             f"training_log.p{jax.process_index()}.txt"))
+    metrics_log = MetricLogger(
+        os.path.join(train_dir, "metrics.jsonl") if lead else os.devnull)
     ckpt = CheckpointManager(os.path.join(train_dir, "ckpt"),
                              max_to_keep=tcfg.keep_checkpoints)
 
@@ -115,7 +128,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
                f"(fresh optimizer, step 0)")
 
     summary_dir = os.path.join(train_dir, "summary")
-    events = EventWriter(summary_dir)
+    events = EventWriter(summary_dir) if lead else _NullEvents()
     with_grads = tcfg.histogram_every > 0
     step_fn = make_train_step(net_cfg, tcfg, mesh=mesh, with_grads=with_grads)
     pipeline = InputPipeline(spec, tcfg.batch_size, tcfg.sub_batch,
@@ -138,9 +151,10 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
         # /root/reference/model/train_single_gpu.py:165-166) instead of
         # re-reading the first batch forever
         val_iter = rotating_batches(val_pipeline)
-        image_writer = SummaryImageWriter(summary_dir,
-                                          debug_level=debug_level,
-                                          event_writer=events)
+        if lead:
+            image_writer = SummaryImageWriter(summary_dir,
+                                              debug_level=debug_level,
+                                              event_writer=events)
 
     debug_fn = (_make_debug_fn(net_cfg) if debug_level >= 2 else None)
 
@@ -159,7 +173,7 @@ def train(spec: DatasetSpec, net_cfg: NetConfig, tcfg: TrainConfig,
             val_spec, net_cfg.input_hw,
             os.path.join(train_dir, "ckpt_best"),
             os.path.join(train_dir, "best.json"),
-            n_frames=tcfg.best_score_frames)
+            n_frames=tcfg.best_score_frames, lead=lead)
 
     samples_per_step = tcfg.batch_size * tcfg.sub_batch
     timer = StepTimer()
@@ -306,13 +320,14 @@ class BestTracker:
     """
 
     def __init__(self, val_spec, input_hw, ckpt_dir: str, marker_path: str,
-                 n_frames: int = 64, batch_size: int = 16):
+                 n_frames: int = 64, batch_size: int = 16, lead: bool = True):
         import json as _json
 
         self.ckpt = CheckpointManager(ckpt_dir, max_to_keep=1)
         self.marker_path = marker_path
         self.n_frames = n_frames
         self.batch_size = batch_size
+        self.lead = lead
         self._val_spec = val_spec
         self._input_hw = input_hw
         self._batches = None  # lazy: built at the first ranking pass
@@ -320,6 +335,17 @@ class BestTracker:
         if os.path.exists(marker_path):  # survives resume
             with open(marker_path) as f:
                 self.best = _json.load(f)
+        if jax.process_count() > 1:
+            # the update decision (err < best) must be IDENTICAL on every
+            # process — the best save is a collective — so the resumed
+            # marker state is broadcast from process 0 (only it writes
+            # best.json; other hosts may not even share its filesystem)
+            from jax.experimental import multihost_utils
+
+            synced = multihost_utils.broadcast_one_to_all(
+                np.asarray([self.best["err"], float(self.best["step"])],
+                           np.float32))
+            self.best = {"err": float(synced[0]), "step": int(synced[1])}
 
     def scoring_batches(self):
         """The fixed scoring set: ``{dm, pose, cfg, com, valid}`` host
@@ -366,14 +392,33 @@ class BestTracker:
             self.best = {"err": err, "step": int(state.step),
                          "frames": int(sum(b["valid"]
                                            for b in self.scoring_batches()))}
-            with open(self.marker_path, "w") as f:
-                _json.dump(self.best, f)
+            if self.lead:
+                with open(self.marker_path, "w") as f:
+                    _json.dump(self.best, f)
             log_fn(f"[train] new best validation error {err:.3f} mm over "
                    f"{self.best['frames']} frames at step {self.best['step']}")
         return err
 
     def close(self):
         self.ckpt.close()
+
+
+class _NullEvents:
+    """Event-writer stand-in for non-lead processes under jax.distributed:
+    the summary COMPUTE still runs everywhere (jit calls on global arrays
+    are collective and every process must join them) but only process 0
+    writes the event file."""
+
+    def add_scalar(self, *a, **kw):
+        pass
+
+    add_scalars = add_histogram = add_image = add_scalar
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
 
 
 def rotating_batches(pipeline):

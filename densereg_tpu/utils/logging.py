@@ -19,9 +19,9 @@ class TrainLogWriter:
     """Append-only ``training_log.txt`` in the reference's line format
     (/root/reference/model/train_single_gpu.py:154-158)."""
 
-    def __init__(self, train_dir: str):
+    def __init__(self, train_dir: str, filename: str = "training_log.txt"):
         os.makedirs(train_dir, exist_ok=True)
-        self.path = os.path.join(train_dir, "training_log.txt")
+        self.path = os.path.join(train_dir, filename)
         self._f = open(self.path, "a")
 
     def log_step(self, step: int, max_steps: int, loss: float,
