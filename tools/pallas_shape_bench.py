@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--input", type=int, default=128,
+                    help="crop size; decode maps are input/4 (256 -> 64x64 "
+                         "heads = hw 4096, a different Mosaic tiling than "
+                         "the 32x32 flagship)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -40,10 +44,10 @@ def main():
     interpret = dev.platform != "tpu"
 
     icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
-    b, h, w = args.batch, 32, 32
+    b, h, w = args.batch, args.input // 4, args.input // 4
     rng = np.random.default_rng(0)
     cfgs = jnp.tile(geometry.scale_cfg(jnp.asarray(icvl.as_array()),
-                                       128, 128)[None], (b, 1))
+                                       args.input, args.input)[None], (b, 1))
     coms = jnp.tile(jnp.asarray([[5.0, -3.0, 400.0]], jnp.float32), (b, 1))
 
     for name, j in (("icvl", 16), ("nyu", 14), ("msra", 21)):

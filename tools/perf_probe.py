@@ -58,20 +58,24 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--net", default="um_v1",
                     help="architecture variant: um_v1 | um_v1_lite")
+    ap.add_argument("--input", type=int, default=128,
+                    help="crop size (128/256/512; sets hourglass depth)")
     args = ap.parse_args()
+    IN = args.input
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
     net_cfg = NetConfig(num_stack=2, num_fea=128, num_joint=16,
+                        input_hw=(IN, IN),
                         compute_dtype=args.dtype, net_module=args.net)
     net = DenseRegNet(net_cfg)
     icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
-    cfg128 = geometry.scale_cfg(icvl.as_array(), 128, 128)
+    cfg128 = geometry.scale_cfg(icvl.as_array(), IN, IN)
     rng = np.random.default_rng(0)
 
     variables = net.init({"params": jax.random.key(0)},
-                         jnp.zeros((1, 128, 128, 1)), train=False)
+                         jnp.zeros((1, IN, IN, 1)), train=False)
 
     @jax.jit
     def fwd_step(x):
@@ -79,7 +83,7 @@ def main():
         return x + jnp.sum(outs["um"][-1]) * 1e-24
 
     for b in [int(x) for x in args.batches.split(",")]:
-        dms = jnp.asarray(rng.uniform(300, 500, (b, 128, 128, 1))
+        dms = jnp.asarray(rng.uniform(300, 500, (b, IN, IN, 1))
                           .astype(np.float32))
         cfgs = jnp.tile(cfg128[None], (b, 1))
         coms = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]], jnp.float32), (b, 1))
@@ -118,7 +122,7 @@ def main():
         poses[..., 1] = rng.uniform(-40, 40, (sub, bb, 16))
         poses[..., 2] = rng.uniform(360, 440, (sub, bb, 16))
         batch = {
-            "dm": jnp.asarray(rng.uniform(300, 500, (sub, bb, 128, 128, 1))
+            "dm": jnp.asarray(rng.uniform(300, 500, (sub, bb, IN, IN, 1))
                               .astype(np.float32)),
             "pose": jnp.asarray(poses.reshape(sub, bb, -1)),
             "cfg": jnp.tile(cfg128[None, None], (sub, bb, 1)),
