@@ -34,42 +34,86 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _cluster_env(cache_dir):
+    """Worker env.  ``cache_dir`` must be FRESH and PER-PROCESS: reusing
+    the long-lived persistent compile cache makes the two processes
+    asymmetric (one loads AOT entries — sometimes rejecting them on
+    machine-feature mismatch and recompiling — while the other compiles),
+    which skews them past Gloo's hard-coded 30 s context-init window and
+    diverges the collective bring-up order.  Fresh empty caches mean both
+    processes always compile the same programs concurrently and reach each
+    collective together."""
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": cache_dir,
+        "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+    })
+    return env
+
+
+def _run_cluster(make_cmd, what, attempts=2):
+    """Run the same CLI command as an NPROC jax.distributed cluster.
+
+    ``make_cmd(attempt)`` builds the per-attempt command (fresh output dirs
+    for non-idempotent commands).  Retries once on the Gloo rendezvous
+    race: XLA's CPU-collectives context init has a HARD-CODED 30 s
+    key-exchange timeout, so on a loaded 1-core host one process can still
+    be compiling when its peer reaches the first collective ("Gloo context
+    initialization failed ... DEADLINE_EXCEEDED").  That is box contention,
+    not a product failure — real multi-host TPU deployments don't share one
+    core between processes.
+    """
+    import tempfile
+
+    for attempt in range(attempts):
+        coord = f"127.0.0.1:{_free_port()}"
+        cmd = make_cmd(attempt) + ["--coordinator_address", coord,
+                                   "--num_processes", str(NPROC)]
+        procs = [subprocess.Popen(
+                     cmd + ["--process_id", str(pid)],
+                     env=_cluster_env(
+                         tempfile.mkdtemp(prefix=f"climp_cache{pid}_")),
+                     stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                 for pid in range(NPROC)]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return attempt, outs
+        joined = "\n".join(outs)
+        gloo_race = ("Gloo context initialization failed" in joined
+                     and "DEADLINE_EXCEEDED" in joined)
+        if not (gloo_race and attempt + 1 < attempts):
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, \
+                    f"{what} process failed:\n{out[-4000:]}"
+    raise AssertionError("unreachable")
+
+
 @pytest.fixture(scope="module")
 def cli_train_run(tmp_path_factory):
     outdir = tmp_path_factory.mktemp("climp")
     data_dir = str(outdir / "synth")
-    base_dir = str(outdir / "cache")
     # pre-generate so the two processes don't race on shard writing
     from densereg_tpu.data.base import get_dataset
 
     get_dataset("synthetic", "training", directory=data_dir)
     get_dataset("synthetic", "testing", directory=data_dir)
 
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env.update({
-        "JAX_PLATFORMS": "cpu",
-        "PALLAS_AXON_POOL_IPS": "",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-        "JAX_COMPILATION_CACHE_DIR": env.get("JAX_COMPILATION_CACHE_DIR",
-                                             "/tmp/jax_cache"),
-        "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
-    })
-    cmd = [sys.executable, "-m", "densereg_tpu.cli.main", "train",
-           "--dataset", "synthetic", "--data_dir", data_dir,
-           "--input_size", "32", "--batch_size", "8", "--sub_batch", "1",
-           "--num_stack", "1", "--num_fea", "8",
-           "--compute_dtype", "float32", "--base_dir", base_dir,
-           "--max_steps", str(STEPS), "--keep_best",
-           "--coordinator_address", coord, "--num_processes", str(NPROC)]
-    procs = [subprocess.Popen(cmd + ["--process_id", str(pid)], env=env,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT)
-             for pid in range(NPROC)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"CLI train process failed:\n{out[-4000:]}"
-    return os.path.join(base_dir, DESC), outs
+    def make_cmd(attempt):
+        # fresh checkpoint tree per attempt: a half-written run must not
+        # leak into the retry
+        return [sys.executable, "-m", "densereg_tpu.cli.main", "train",
+                "--dataset", "synthetic", "--data_dir", data_dir,
+                "--input_size", "32", "--batch_size", "8",
+                "--sub_batch", "1", "--num_stack", "1", "--num_fea", "8",
+                "--compute_dtype", "float32",
+                "--base_dir", str(outdir / f"cache{attempt}"),
+                "--max_steps", str(STEPS), "--keep_best"]
+
+    attempt, outs = _run_cluster(make_cmd, "CLI train")
+    return os.path.join(str(outdir / f"cache{attempt}"), DESC), outs
 
 
 def test_one_consistent_checkpoint(cli_train_run):
@@ -109,6 +153,36 @@ def test_lead_only_artifacts(cli_train_run):
     assert steps == sorted(set(steps)), steps
     events = os.listdir(os.path.join(train_dir, "summary"))
     assert len([e for e in events if "tfevents" in e]) == 1, events
+
+
+def test_cli_eval_multiprocess(cli_train_run):
+    """The CLI `test` subcommand under the same 2-process cluster: each
+    process evaluates its contiguous shard range, rank 0 merges — one
+    result dump with exactly exact_num lines and a 17-line error curve
+    (eval.loop.evaluate_multihost through the real CLI entry)."""
+    train_dir, _ = cli_train_run
+    base_dir = os.path.dirname(train_dir)
+    data_dir = os.path.join(os.path.dirname(base_dir), "synth")
+
+    # idempotent command (rewrites its dumps), so the same cmd every attempt
+    _run_cluster(lambda attempt: [
+        sys.executable, "-m", "densereg_tpu.cli.main", "test",
+        "--dataset", "synthetic", "--data_dir", data_dir,
+        "--input_size", "32", "--batch_size", "8",
+        "--num_stack", "1", "--num_fea", "8",
+        "--compute_dtype", "float32", "--base_dir", base_dir,
+    ], "CLI test")
+
+    res = os.path.join(train_dir, f"testing-step{STEPS}-result.txt")
+    assert os.path.exists(res), os.listdir(train_dir)
+    from densereg_tpu.data.base import get_dataset
+
+    spec = get_dataset("synthetic", "testing", directory=data_dir)
+    lines = open(res).read().splitlines()
+    assert len(lines) == spec.exact_num
+    curve = open(os.path.join(
+        train_dir, f"testing-step{STEPS}-result_error.txt"))
+    assert len(curve.read().strip().splitlines()) == 17
 
 
 def test_keep_best_collective_save(cli_train_run):
