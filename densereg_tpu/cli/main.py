@@ -18,6 +18,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
+import threading
+import time
 
 from densereg_tpu.config import EvalConfig, NetConfig, TrainConfig
 
@@ -236,6 +238,89 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_predictor(args):
+    """Shared predictor loader for the serving surfaces (predict/serve):
+    a ``jax.export`` artifact if ``--artifact`` is given, otherwise the
+    checkpoint selected by the common flags."""
+    import os
+
+    if args.artifact:
+        from densereg_tpu.export import load_exported
+        return load_exported(args.artifact)
+
+    from densereg_tpu.config import model_desc
+    from densereg_tpu.serving import Predictor
+
+    train_spec, test_spec = _specs(args)
+    net, _ = _configs(args, test_spec.jnt_num)
+    desc = model_desc(train_spec.name, train_spec.subset, net,
+                      args.is_aug, args.net_module)
+    return Predictor.from_checkpoint(
+        os.path.join(args.base_dir, desc), net, test_spec.cfg,
+        step=args.selected_step, max_batch=args.batch_size,
+        quantize=args.quantize, use_ema=args.use_ema,
+        use_best=args.use_best, ema_decay=args.ema_decay)
+
+
+def cmd_serve(args) -> int:
+    """Run the persistent micro-batching inference daemon: load once,
+    compile once, then stream length-framed depth-frame requests over a
+    Unix socket (or TCP with ``--socket host:port``).  See
+    densereg_tpu/serve.py for the wire protocol; the reference has no
+    persistent serving surface at all (its closest analogue is re-running
+    /root/reference/model/test_model.py per evaluation)."""
+    import signal
+
+    import numpy as np
+
+    from densereg_tpu.serve import Server
+
+    pred = _load_predictor(args)
+
+    # warm up: compile the fixed-shape serving program BEFORE accepting
+    # traffic so the first client never eats the (minutes-long on a remote
+    # relay) compile inside its request latency
+    hw = getattr(pred, "frame_hw", None)
+    if hw is None:
+        hw = (int(pred.camera.h), int(pred.camera.w))
+    dummy_bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
+    t0 = time.time()
+    np.asarray(pred(np.zeros((1,) + tuple(hw), np.float32), dummy_bbx))
+    if hasattr(pred, "variables"):  # live predictor: u16 requests keep
+        # integer depth in native width — a DIFFERENT traced program, so
+        # compile it up front too (exported artifacts are f32-only)
+        np.asarray(pred(np.zeros((1,) + tuple(hw), np.uint16), dummy_bbx))
+    print(f"[serve] compiled max_batch={pred.max_batch} frame_hw={hw} "
+          f"in {time.time() - t0:.1f}s")
+
+    server = Server(pred, args.socket, window_ms=args.window_ms)
+    stop = threading.Event()
+
+    def _sig(_s, _f):
+        stop.set()
+
+    signal.signal(signal.SIGTERM, _sig)
+    signal.signal(signal.SIGINT, _sig)
+    print(f"[serve] listening on {server.address}", flush=True)
+    try:
+        last = 0
+        while not stop.wait(timeout=args.stats_interval):
+            st = server.stats()
+            if st["responses"] != last:  # only log when traffic moved
+                last = st["responses"]
+                print(f"[serve] reqs={st['requests']} "
+                      f"batches={st['batches']} "
+                      f"mean_batch={st['mean_batch']:.1f} "
+                      f"p50={st['p50_ms']}ms p99={st['p99_ms']}ms",
+                      flush=True)
+    finally:
+        st = server.stats()
+        server.shutdown()
+        print(f"[serve] shutdown: {st['responses']} responses in "
+              f"{st['uptime_s']}s ({st['errors']} errors)", flush=True)
+    return 0
+
+
 def cmd_predict(args) -> int:
     """Serve raw depth images straight from disk: a directory (or glob) of
     16-bit depth PNGs in, a reference-format result txt out.  Runs either a
@@ -272,22 +357,7 @@ def cmd_predict(args) -> int:
         bbxs = np.tile(np.asarray(
             [0, 0, h, w, args.depth_threshold], np.float32), (len(paths), 1))
 
-    if args.artifact:
-        from densereg_tpu.export import load_exported
-        pred = load_exported(args.artifact)
-    else:
-        from densereg_tpu.config import model_desc
-        from densereg_tpu.serving import Predictor
-
-        train_spec, test_spec = _specs(args)
-        net, _ = _configs(args, test_spec.jnt_num)
-        desc = model_desc(train_spec.name, train_spec.subset, net,
-                          args.is_aug, args.net_module)
-        pred = Predictor.from_checkpoint(
-            os.path.join(args.base_dir, desc), net, test_spec.cfg,
-            step=args.selected_step, max_batch=args.batch_size,
-            quantize=args.quantize, use_ema=args.use_ema,
-            use_best=args.use_best, ema_decay=args.ema_decay)
+    pred = _load_predictor(args)
 
     xyz = pred(frames, bbxs)
     with ResultWriter(args.out) as wtr:
@@ -430,6 +500,28 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--use_best", action="store_true")
     pp.add_argument("--ema_decay", type=float, default=None)
     pp.set_defaults(fn=cmd_predict)
+
+    ps = sub.add_parser("serve", help="persistent micro-batching inference "
+                                      "daemon (Unix socket or TCP)")
+    _add_common(ps)
+    ps.add_argument("--socket", required=True,
+                    help="Unix-socket path, or host:port for TCP")
+    ps.add_argument("--artifact", default=None,
+                    help="serve a jax.export artifact (.drexpt); otherwise "
+                         "the checkpoint selected by the common flags")
+    ps.add_argument("--window_ms", type=float, default=2.0,
+                    help="micro-batching window: after the first queued "
+                         "request, wait at most this long for more before "
+                         "dispatching (latency/throughput knob)")
+    ps.add_argument("--stats_interval", type=float, default=30.0,
+                    help="seconds between traffic log lines")
+    ps.add_argument("--selected_step", type=int, default=-1)
+    ps.add_argument("--quantize", action="store_true",
+                    help="serve the int8-weight graph")
+    ps.add_argument("--use_ema", action="store_true")
+    ps.add_argument("--use_best", action="store_true")
+    ps.add_argument("--ema_decay", type=float, default=None)
+    ps.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,185 @@
+"""Persistent serving daemon: wire protocol, cross-client micro-batching,
+error handling, and the CLI `serve` subcommand.
+
+The reference has no persistent inference surface (its only serving path is
+re-running /root/reference/model/test_model.py per evaluation); these tests
+pin the daemon against the in-process Predictor as ground truth."""
+
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densereg_tpu.config import CameraConfig, NetConfig
+from densereg_tpu.models import DenseRegNet
+from densereg_tpu.serve import Client, Server
+from densereg_tpu.serving import Predictor
+
+ICVL = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+NET = NetConfig(num_stack=1, num_fea=8, num_joint=4, input_hw=(32, 32))
+BBX = np.array([60, 80, 200, 260, 600], np.float32)
+
+
+def _frames(rng, n):
+    # integer-valued mm depth: exactly representable in BOTH u16 and f32,
+    # so the two wire dtypes must produce identical results
+    return rng.integers(300, 500, (n, 240, 320)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def pred():
+    net = DenseRegNet(NET)
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 32, 32, 1)), train=False)
+    p = Predictor(variables, NET, ICVL, max_batch=4)
+    # compile before the latency-sensitive batching assertions run
+    p(np.full((1, 240, 320), 400, np.float32), BBX[None])
+    return p
+
+
+@pytest.fixture
+def server(pred, tmp_path):
+    with Server(pred, str(tmp_path / "s.sock"), window_ms=50) as s:
+        yield s
+
+
+def test_roundtrip_matches_direct(pred, server, rng):
+    frames = _frames(rng, 3)
+    bbxs = np.tile(BBX, (3, 1))
+    want = pred(frames, bbxs)
+    with Client(server.address) as c:
+        assert c.ping()
+        got = np.stack([c.predict(f, BBX) for f in frames])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_pipelined_requests_are_microbatched(pred, tmp_path, rng):
+    """8 requests submitted before any result is read must be coalesced
+    into fewer device dispatches than requests (the whole point of the
+    batching window)."""
+    with Server(pred, str(tmp_path / "b.sock"), window_ms=300) as s:
+        frames = _frames(rng, 8)
+        bbxs = np.tile(BBX, (8, 1))
+        with Client(s.address) as c:
+            got = c.predict_batch(frames, bbxs)
+            st = c.stats()
+    np.testing.assert_allclose(got, pred(frames, bbxs), rtol=0, atol=1e-5)
+    assert st["responses"] == 8
+    assert st["batches"] < 8, st  # coalesced at all
+    assert st["mean_batch"] > 1.5, st
+
+
+def test_semantic_error_keeps_connection_usable(server, rng):
+    with Client(server.address) as c:
+        c.submit(np.full((16, 16), 400, np.float32), BBX)
+        resp = c.recv()
+        assert "error" in resp and "16, 16" in resp["error"]
+        # connection survives a semantic error; next request succeeds
+        xyz = c.predict(_frames(rng, 1)[0], BBX)
+        assert xyz.shape == (12,) and np.isfinite(xyz).all()
+        assert c.stats()["errors"] == 1
+
+
+def test_u16_request_matches_f32(server, rng):
+    f = _frames(rng, 1)[0]
+    with Client(server.address) as c:
+        np.testing.assert_array_equal(c.predict(f.astype(np.uint16), BBX),
+                                      c.predict(f, BBX))
+
+
+def test_tcp_transport(pred, rng):
+    with Server(pred, "127.0.0.1:0", window_ms=10) as s:
+        assert ":" in s.address  # resolved ephemeral port
+        with Client(s.address) as c:
+            xyz = c.predict(_frames(rng, 1)[0], BBX)
+    assert xyz.shape == (12,)
+
+
+def test_concurrent_clients_all_answered(pred, tmp_path, rng):
+    frames = _frames(rng, 6)
+    want = pred(frames, np.tile(BBX, (6, 1)))
+    results, errs = {}, []
+
+    def _one(i):
+        try:
+            with Client(srv.address) as c:
+                results[i] = c.predict(frames[i], BBX)
+        except Exception as e:  # surfaced below; keep the join running
+            errs.append((i, e))
+
+    with Server(pred, str(tmp_path / "c.sock"), window_ms=100) as srv:
+        threads = [threading.Thread(target=_one, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errs, errs
+    for i in range(6):
+        np.testing.assert_allclose(results[i], want[i], rtol=0, atol=1e-5)
+
+
+def test_exported_artifact_server(pred, tmp_path, rng):
+    """The daemon serves a jax.export artifact (no model code needed) with
+    the same results as the live predictor."""
+    from densereg_tpu.export import export_predictor, load_exported
+
+    path = str(tmp_path / "m.drexpt")
+    export_predictor(pred, path, platforms=("cpu",))
+    frames = _frames(rng, 2)
+    with Server(load_exported(path), str(tmp_path / "e.sock"),
+                window_ms=10) as s:
+        with Client(s.address) as c:
+            got = np.stack([c.predict(f, BBX) for f in frames])
+    np.testing.assert_allclose(got, pred(frames, np.tile(BBX, (2, 1))),
+                               rtol=0, atol=1e-5)
+
+
+def test_cli_serve_subcommand(pred, tmp_path, rng):
+    """End-to-end: `densereg_tpu serve --artifact` in a real subprocess —
+    warmup, request, stats, clean SIGTERM shutdown."""
+    from densereg_tpu.export import export_predictor
+
+    art = str(tmp_path / "m.drexpt")
+    export_predictor(pred, art, platforms=("cpu",))
+    sock = str(tmp_path / "cli.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "densereg_tpu.cli.main", "serve",
+         "--artifact", art, "--socket", sock, "--window_ms", "5"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 180
+        client = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve exited early:\n{proc.stdout.read().decode()}")
+            if os.path.exists(sock):
+                try:
+                    client = Client(sock)
+                    break
+                except (ConnectionError, OSError):
+                    time.sleep(0.2)
+            else:
+                time.sleep(0.2)
+        assert client is not None, "server never came up"
+        assert client.ping()
+        xyz = client.predict(_frames(rng, 1)[0], BBX)
+        assert xyz.shape == (12,) and np.isfinite(xyz).all()
+        assert client.stats()["responses"] == 1
+        client.close()
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    assert proc.returncode == 0, out.decode()
+    assert "[serve] shutdown" in out.decode()
+    assert not os.path.exists(sock)  # unix socket cleaned up
