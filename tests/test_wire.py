@@ -98,9 +98,10 @@ def test_test_pipeline_u16_wire_end_to_end(tmp_path):
     import jax
     import jax.numpy as jnp
 
-    from densereg_tpu.config import EvalConfig, NetConfig
-    from densereg_tpu.eval.loop import evaluate_stream, make_infer_fn
-    from densereg_tpu.models import DenseRegNet
+    from densereg_tpu import decode as decode_mod, geometry, targets
+    from densereg_tpu.config import EvalConfig
+    from densereg_tpu.eval.loop import evaluate_stream
+    from densereg_tpu.preprocess import norm_dm
 
     spec, batches_q = _eval_batches(tmp_path, "uint16")
     _, batches_f = _eval_batches(tmp_path, "float32")
@@ -108,16 +109,40 @@ def test_test_pipeline_u16_wire_end_to_end(tmp_path):
     assert "dm_scale" in batches_q[0]
     assert batches_f[0]["dm"].dtype == jnp.float32
 
-    net_cfg = NetConfig(num_stack=1, num_fea=8, num_joint=spec.jnt_num,
-                        input_hw=(32, 32), compute_dtype="float32")
-    net = DenseRegNet(net_cfg)
-    variables = net.init({"params": jax.random.key(0)},
-                         jnp.zeros((1, 32, 32, 1)), train=False)
-    infer = make_infer_fn(net_cfg, EvalConfig(batch_size=3))
+    # Oracle "network": sharp GT-shaped heads synthesized from a pose
+    # placed deterministically around each frame's center of mass.  A
+    # random-init conv net produces flat heatmaps whose top-k/vote-grid
+    # selections sit on near-ties, so the wire's <=0.005 mm quantization
+    # can flip candidates and decode a wholly different (garbage) pose —
+    # that is decode sensitivity on ties, not a wire defect.  Sharp maps
+    # pin what the test actually claims: the u16 feed path (host encode ->
+    # device dequant -> normalize -> z-clamp/backproject against the
+    # quantized dm -> vote decode) reproduces the f32 wire.  The conv
+    # net's own u16-vs-f32 stability on smooth inputs is covered by
+    # test_infer_fn_u16_matches_f32 above.
+    j = spec.jnt_num
+    rj = np.random.default_rng(7)
+    offsets = jnp.asarray(np.concatenate(
+        [rj.uniform(-25, 25, (j, 2)), rj.uniform(-15, 15, (j, 1))],
+        axis=1).astype(np.float32).reshape(1, 3 * j))
+    ecfg = EvalConfig(batch_size=3)
 
+    def oracle_infer(_variables, dms, cfgs, coms, dm_scale=None):
+        dms = dms.astype(jnp.float32)
+        if dm_scale is not None:
+            dms = dms * dm_scale
+        normed = norm_dm(dms, coms)
+        pose = coms.reshape(-1, 1, 3).repeat(j, 1).reshape(-1, 3 * j) \
+            + offsets
+        gt = targets.synthesize(pose, cfgs, coms, normed, 32, 32)
+        res = decode_mod.decode_poses(gt["hm2"], gt["hm3"], gt["um"],
+                                      gt["tiny_dm"], cfgs, coms, ecfg)
+        return res["xyz"]
+
+    infer = jax.jit(oracle_infer)
     outs = {}
     for tag, batches in (("u16", batches_q), ("f32", batches_f)):
-        rep = evaluate_stream(infer, variables, iter(batches),
+        rep = evaluate_stream(infer, None, iter(batches),
                               exact_num=spec.exact_num, log_every=0)
         outs[tag] = rep
     assert outs["u16"]["num_frames"] == outs["f32"]["num_frames"]
