@@ -11,6 +11,12 @@ throughput, plus the server's own batching stats.
     python tools/serve_probe.py --artifact model.drexpt --requests 512 \
         --window_ms 2 --inflight 64
 
+    # self-hosted at the production net config with random-init weights
+    # (latency/throughput is weight-independent; this is how the daemon is
+    # probed on hardware without a trained checkpoint)
+    python tools/serve_probe.py --net s2f128 --max_batch 64 --quantize \
+        --requests 1024 --inflight 1 16 64 256
+
 ``--inflight`` is the client-side pipelining depth: how many requests are
 kept outstanding (the server can only micro-batch what is concurrently in
 flight, so this knob sweeps the latency/throughput curve from batch-1
@@ -83,6 +89,34 @@ def run_probe(address: str, requests: int, inflight: int,
     }
 
 
+def _net_predictor(desc: str, max_batch: int, quantize: bool):
+    """Random-init Predictor at a named production config (serving latency
+    and throughput do not depend on the weight values, so this probes the
+    daemon on hardware without a trained checkpoint).  ``desc`` is
+    s<stack>f<fea>, e.g. s2f128 — the reference's released ICVL model shape
+    (/root/reference/exp/scripts/fetch_icvl_model.sh:3)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from densereg_tpu.config import CameraConfig, NetConfig
+    from densereg_tpu.models import DenseRegNet
+    from densereg_tpu.serving import Predictor
+
+    m = re.fullmatch(r"s(\d+)f(\d+)", desc)
+    if not m:
+        raise SystemExit(f"--net must look like s2f128, got {desc!r}")
+    net_cfg = NetConfig(num_stack=int(m.group(1)), num_fea=int(m.group(2)),
+                        num_joint=16, input_hw=(128, 128))
+    icvl = CameraConfig(fx=241.42, fy=241.42, cx=160, cy=120, w=320, h=240)
+    net = DenseRegNet(net_cfg)
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 128, 128, 1)), train=False)
+    return Predictor(variables, net_cfg, icvl, max_batch=max_batch,
+                     quantize=quantize)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--socket", default=None,
@@ -90,6 +124,13 @@ def main(argv=None) -> int:
                          "host:port)")
     ap.add_argument("--artifact", default=None,
                     help="self-host this jax.export artifact instead")
+    ap.add_argument("--net", default=None,
+                    help="self-host a random-init net at this config "
+                         "(e.g. s2f128) instead of a checkpoint/artifact")
+    ap.add_argument("--max_batch", type=int, default=64,
+                    help="--net mode: server-side micro-batch capacity")
+    ap.add_argument("--quantize", action="store_true",
+                    help="--net mode: serve the int8-weight graph")
     ap.add_argument("--requests", type=int, default=512)
     ap.add_argument("--inflight", type=int, default=None, nargs="+",
                     help="pipelining depth(s) to sweep (default: 1, "
@@ -100,27 +141,35 @@ def main(argv=None) -> int:
                     help="frame size when probing a remote server "
                          "(default 240 320)")
     args = ap.parse_args(argv)
-    if not (args.socket or args.artifact):
-        ap.error("need --socket or --artifact")
+    if not (args.socket or args.artifact or args.net):
+        ap.error("need --socket, --artifact, or --net")
 
     rng = np.random.default_rng(0)
     server = None
     try:
-        if args.artifact:
+        if args.artifact or args.net:
             import tempfile
 
-            from densereg_tpu.export import load_exported
             from densereg_tpu.serve import Server
 
-            pred = load_exported(args.artifact)
-            # compile before timing anything
-            h, w = pred.frame_hw
-            pred(np.zeros((1, h, w), np.float32),
-                 np.asarray([[0, 0, h, w, 600.0]], np.float32))
+            if args.artifact:
+                from densereg_tpu.export import load_exported
+                pred = load_exported(args.artifact)
+                h, w = pred.frame_hw
+            else:
+                pred = _net_predictor(args.net, args.max_batch,
+                                      args.quantize)
+                h, w = int(pred.camera.h), int(pred.camera.w)
+            # compile before timing anything (both wire dtypes for a live
+            # predictor — u16 requests trace a second program)
+            bbx1 = np.asarray([[0, 0, h, w, 600.0]], np.float32)
+            pred(np.zeros((1, h, w), np.float32), bbx1)
+            if hasattr(pred, "variables"):
+                pred(np.zeros((1, h, w), np.uint16), bbx1)
             address = tempfile.mktemp(prefix="densereg_probe_",
                                       suffix=".sock")
             server = Server(pred, address, window_ms=args.window_ms)
-            frame_hw = pred.frame_hw
+            frame_hw = (h, w)
             default_sweep = [1, pred.max_batch]
         else:
             address = args.socket
