@@ -183,3 +183,25 @@ def test_cli_serve_subcommand(pred, tmp_path, rng):
     assert proc.returncode == 0, out.decode()
     assert "[serve] shutdown" in out.decode()
     assert not os.path.exists(sock)  # unix socket cleaned up
+
+
+def test_serve_probe_net_mode(capsys):
+    """tools/serve_probe.py --net self-hosts a random-init predictor at a
+    named s<stack>f<fea> config and prints one JSON sweep row per inflight
+    depth (the mode used to probe the daemon on hardware without a trained
+    checkpoint)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.serve_probe import main
+
+    assert main(["--net", "s1f8", "--max_batch", "2", "--requests", "4",
+                 "--inflight", "1", "2", "--window_ms", "50"]) == 0
+    rows = [r for r in capsys.readouterr().out.splitlines()
+            if r.startswith("{")]
+    assert len(rows) == 2
+    import json as _json
+    for depth, row in zip((1, 2), rows):
+        rec = _json.loads(row)
+        assert rec["inflight"] == depth and rec["requests"] == 4
+        assert rec["fps"] > 0 and rec["p99_ms"] >= rec["p50_ms"]
+    # pipelined clients must actually micro-batch
+    assert _json.loads(rows[1])["server_mean_batch"] > 1.0
