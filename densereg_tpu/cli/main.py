@@ -38,7 +38,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_fea", type=int, default=128)
     p.add_argument("--kernel_size", type=int, default=3)
     p.add_argument("--net_module", default="um_v1",
-                   choices=["um_v1", "um_v1_lite"])
+                   choices=["um_v1", "um_v1_lite", "um_v1_deconv"])
     p.add_argument("--input_size", type=int, default=128,
                    choices=[32, 64, 128, 256, 512],
                    help="square crop size; sets the hourglass depth "
@@ -111,6 +111,7 @@ def cmd_train(args) -> int:
     net, tcfg = _configs(args, train_spec.jnt_num)
     tcfg = dataclasses.replace(tcfg, profile_dir=args.profile_dir,
                                ema_decay=args.ema_decay,
+                               loss_type=args.loss_type,
                                host_preprocess=args.host_preprocess,
                                wire_dtype=args.wire_dtype,
                                keep_best=args.keep_best,
@@ -286,14 +287,15 @@ def cmd_serve(args) -> int:
     dummy_bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
     t0 = time.time()
     np.asarray(pred(np.zeros((1,) + tuple(hw), np.float32), dummy_bbx))
-    if hasattr(pred, "variables"):  # live predictor: u16 requests keep
-        # integer depth in native width — a DIFFERENT traced program, so
-        # compile it up front too (exported artifacts are f32-only)
+    if getattr(pred, "accepts_u16", hasattr(pred, "variables")):
+        # u16 requests keep integer depth in native width — a DIFFERENT
+        # traced/exported program, so compile it up front too
         np.asarray(pred(np.zeros((1,) + tuple(hw), np.uint16), dummy_bbx))
     print(f"[serve] compiled max_batch={pred.max_batch} frame_hw={hw} "
           f"in {time.time() - t0:.1f}s")
 
-    server = Server(pred, args.socket, window_ms=args.window_ms)
+    server = Server(pred, args.socket, window_ms=args.window_ms,
+                    max_queue=args.max_queue)
     stop = threading.Event()
 
     def _sig(_s, _f):
@@ -379,6 +381,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
     pt.add_argument("--ema_decay", type=float, default=None)
+    pt.add_argument("--loss_type", choices=["l2", "l1"], default="l2",
+                    help="data-term loss on the map heads: l2 = the "
+                         "reference's tf.nn.l2_loss; l1 = the slim "
+                         "vocabulary's l1_loss")
     pt.add_argument("--host_preprocess", action="store_true",
                     help="crop/center-of-mass on the host CPU backend and "
                          "transfer cropped float32 (transfer optimization "
@@ -513,6 +519,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="micro-batching window: after the first queued "
                          "request, wait at most this long for more before "
                          "dispatching (latency/throughput knob)")
+    ps.add_argument("--max_queue", type=int, default=None,
+                    help="bound on queued-but-undispatched requests; "
+                         "arrivals beyond it are shed with an immediate "
+                         "'overloaded' error response (default "
+                         "8*max_batch; 0 = unbounded)")
     ps.add_argument("--stats_interval", type=float, default=30.0,
                     help="seconds between traffic log lines")
     ps.add_argument("--selected_step", type=int, default=-1)

@@ -30,6 +30,12 @@ TCP):
   response:  >I len | JSON {"id": ..., "xyz": [3*J floats, camera mm]}
              or {"id": ..., "error": "..."} (the connection stays usable
              after a semantic error; only framing corruption closes it).
+             A client flooding faster than the device drains gets
+             {"id": ..., "error": "overloaded"} immediately (load shedding:
+             the pending-request queue is bounded at ``max_queue`` so host
+             memory and tail latency stay bounded; sheds are counted in
+             ``stats()["sheds"]`` — retry with backoff or lower the
+             in-flight depth).
 
 ``u16`` requests halve the client->server AND host->device bytes on this
 transfer-bound path (BASELINE.md: uint16 staging measured 1.56x on the eval
@@ -136,10 +142,18 @@ class Server:
       frame_hw: accepted raw frame size; defaults to the predictor
         camera's sensor size (requests of any other size get an error
         response, since cross-client batching needs one static shape).
+      max_queue: bound on queued-but-undispatched requests; a request
+        arriving with the queue full is SHED with an immediate
+        ``{"error": "overloaded"}`` response instead of growing host
+        memory without bound.  Defaults to ``8 * max_batch`` (eight full
+        dispatches of headroom — deep enough to ride out a batching
+        window, shallow enough that queueing delay stays bounded by a few
+        device steps).  0 disables the bound.
     """
 
     def __init__(self, predictor, address: str, window_ms: float = 2.0,
-                 frame_hw: Optional[Tuple[int, int]] = None):
+                 frame_hw: Optional[Tuple[int, int]] = None,
+                 max_queue: Optional[int] = None):
         self.predictor = predictor
         self.window_s = window_ms / 1e3
         if frame_hw is None:
@@ -147,9 +161,11 @@ class Server:
             frame_hw = (getattr(predictor, "frame_hw", None)
                         or (int(cam.h), int(cam.w)))
         self.frame_hw = tuple(int(v) for v in frame_hw)
-        # the exported program's signature is f32; the live predictor keeps
-        # integer depth in native width to halve host->device bytes
-        self._u16_ok = hasattr(predictor, "variables")
+        # live predictors and dual-entry export artifacts keep integer depth
+        # in native width to halve host->device bytes; pre-u16 (f32-only)
+        # artifacts get u16 requests cast on the host instead
+        self._u16_ok = getattr(predictor, "accepts_u16",
+                               hasattr(predictor, "variables"))
         self._family, addr = _parse_address(address)
         if self._family == socket.AF_UNIX and os.path.exists(addr):
             os.unlink(addr)  # stale socket from a previous run
@@ -162,7 +178,10 @@ class Server:
         self.address = addr if self._family == socket.AF_UNIX else \
             "%s:%d" % self._listener.getsockname()[:2]
 
-        self._q: "queue.Queue[_Entry]" = queue.Queue()
+        if max_queue is None:
+            max_queue = 8 * int(predictor.max_batch)
+        self.max_queue = int(max_queue)
+        self._q: "queue.Queue[_Entry]" = queue.Queue(maxsize=self.max_queue)
         self._done: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._conns: set = set()
@@ -170,7 +189,7 @@ class Server:
         self._t0 = time.monotonic()
         self._stats_lock = threading.Lock()
         self._requests = self._responses = self._batches = 0
-        self._batched_frames = self._errors = 0
+        self._batched_frames = self._errors = self._sheds = 0
         self._lat_ms = collections.deque(maxlen=10000)
         self._threads = [
             threading.Thread(target=self._accept_loop, daemon=True),
@@ -220,7 +239,15 @@ class Server:
                 frame = np.frombuffer(payload, dt).reshape(hw)
                 with self._stats_lock:
                     self._requests += 1
-                self._q.put(_Entry(conn, rid, frame, bbx))
+                try:
+                    self._q.put_nowait(_Entry(conn, rid, frame, bbx))
+                except queue.Full:
+                    # load shedding: never let a flooding client grow host
+                    # memory/tail latency unboundedly — reply immediately
+                    # so it can back off (the connection stays usable)
+                    with self._stats_lock:
+                        self._sheds += 1
+                    conn.send({"id": rid, "error": "overloaded"})
         except (ConnectionError, OSError, ValueError, KeyError,
                 json.JSONDecodeError):
             pass  # framing broken or peer gone: drop the connection
@@ -318,6 +345,9 @@ class Server:
                 "requests": self._requests,
                 "responses": self._responses,
                 "errors": self._errors,
+                "sheds": self._sheds,
+                "queue_depth": self._q.qsize(),
+                "max_queue": self.max_queue,
                 "batches": self._batches,
                 "mean_batch": (self._batched_frames / self._batches
                                if self._batches else 0.0),

@@ -44,6 +44,10 @@ class Predictor:
     fall back to dynamic per-batch scaling, which is SLOWER than bf16
     (round-1 measurement)."""
 
+    # uint16 integer-mm frames are accepted natively (cast on device):
+    # half the host->device bytes, bit-identical results
+    accepts_u16 = True
+
     def __init__(self, variables, net_cfg: NetConfig, camera: CameraConfig,
                  max_batch: int = 64, ecfg: EvalConfig = EvalConfig(),
                  fold_bn: bool = True, mesh=None, quantize: bool = False,

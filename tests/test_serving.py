@@ -73,6 +73,39 @@ def test_export_roundtrip_matches_live_predictor(rng, tmp_path):
         load_exported(str(corrupt))
 
 
+def test_export_u16_entry_matches_live_and_f32(rng, tmp_path):
+    """Dual-entry artifact: the uint16 entry point must reproduce the f32
+    entry point AND the live predictor exactly (integer-mm depth is exactly
+    representable in both dtypes), so exported-artifact servers keep the
+    u16 wire's transfer win.  f32-only artifacts (pre-u16 layout, or
+    ``u16=False``) still load and serve u16 requests via a host-side
+    cast."""
+    from densereg_tpu.export import export_predictor, load_exported
+
+    pred = Predictor(_variables(), NET, ICVL, max_batch=4)
+    path = str(tmp_path / "m.drexpt")
+    export_predictor(pred, path, platforms=("cpu",))
+    loaded = load_exported(path)
+    assert loaded.accepts_u16
+
+    frames = np.round(rng.uniform(300, 500, (3, 240, 320)))
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    f32, u16 = frames.astype(np.float32), frames.astype(np.uint16)
+    want = pred(f32, bbxs)
+    np.testing.assert_array_equal(pred(u16, bbxs), want)
+    np.testing.assert_array_equal(loaded(f32, bbxs), want)
+    np.testing.assert_array_equal(loaded(u16, bbxs), want)
+
+    path32 = str(tmp_path / "m32.drexpt")
+    export_predictor(pred, path32, platforms=("cpu",), u16=False)
+    old = load_exported(path32)
+    assert not old.accepts_u16
+    np.testing.assert_array_equal(old(u16, bbxs), want)
+    # the dual-entry artifact costs ~2x (weights baked into each program)
+    import os
+    assert os.path.getsize(path) > 1.5 * os.path.getsize(path32)
+
+
 def test_predictor_uint16_request_matches_float32(rng):
     """Serving accepts uint16 depth frames (half the transfer bytes); the
     on-device cast must reproduce the float32 request exactly."""

@@ -160,11 +160,11 @@ def main(argv=None) -> int:
                 pred = _net_predictor(args.net, args.max_batch,
                                       args.quantize)
                 h, w = int(pred.camera.h), int(pred.camera.w)
-            # compile before timing anything (both wire dtypes for a live
-            # predictor — u16 requests trace a second program)
+            # compile before timing anything (both wire dtypes where the
+            # predictor accepts u16 natively — a second program)
             bbx1 = np.asarray([[0, 0, h, w, 600.0]], np.float32)
             pred(np.zeros((1, h, w), np.float32), bbx1)
-            if hasattr(pred, "variables"):
+            if getattr(pred, "accepts_u16", hasattr(pred, "variables")):
                 pred(np.zeros((1, h, w), np.uint16), bbx1)
             address = tempfile.mktemp(prefix="densereg_probe_",
                                       suffix=".sock")
