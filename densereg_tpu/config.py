@@ -61,9 +61,12 @@ class NetConfig:
     kernel_size: int = 3
     num_joint: int = 16
     input_hw: Tuple[int, int] = (128, 128)
-    # architecture variant: "um_v1" (reference topology) or "um_v1_lite"
+    # architecture variant: "um_v1" (reference topology), "um_v1_lite"
     # (depthwise-separable residual bottlenecks — same heads/decode, ~3x
-    # fewer conv FLOPs; cf. the lighter-stacked-hourglass literature)
+    # fewer conv FLOPs; cf. the lighter-stacked-hourglass literature), or
+    # "um_v1_deconv" (learned stride-2 transposed-conv upsampling in the
+    # hourglass instead of nearest — the slim `deconv` op the reference
+    # ships but never uses, /root/reference/network/slim/ops.py:480-545)
     net_module: str = "um_v1"
     # dtype used for conv compute; params/stats always float32.
     compute_dtype: str = "float32"
@@ -124,6 +127,11 @@ class TrainConfig:
     adam_beta1: float = 0.5
     grad_clip_value: float = 0.2  # elementwise clip after averaging
     weight_decay: float = 5e-4    # conv-kernel L2, um_v1.py:35
+    # data-term loss on the three map heads: "l2" (the reference's
+    # tf.nn.l2_loss, /root/reference/model/hourglass_um_crop_tiny.py:351-371)
+    # or "l1" (the slim vocabulary's l1_loss the reference ships but never
+    # wires in, /root/reference/network/slim/losses.py:119-135)
+    loss_type: str = "l2"
     # Optional weight EMA (the reference defines decay .9999 and applies it
     # only in the multi-GPU trainer, /root/reference/model/train_multi_gpu
     # .py:108-112; the single-GPU path has it commented out).  None = off.

@@ -48,7 +48,14 @@ def renorm_clip_schedule(t):
 class Hourglass(nn.Module):
     """Recursive hourglass (/root/reference/network/um_v1.py:51-69): at each
     level ``upper = res(x)``; ``lower = res(pool3x3/2(x))`` -> recurse ->
-    ``res`` -> nearest-upsample x2; sum."""
+    ``res`` -> upsample x2; sum.
+
+    ``deconv_up=True`` (the ``um_v1_deconv`` net variant) replaces the
+    parameter-free nearest upsample with a learned stride-2 transposed conv
+    — the slim ``deconv`` op the reference ships but never wires into a
+    network (/root/reference/network/slim/ops.py:480-545); here it is a
+    first-class architecture option (the classic learned-upsampling
+    alternative in hourglass nets)."""
 
     depth: int
     kernel_size: int = 3
@@ -57,6 +64,7 @@ class Hourglass(nn.Module):
     use_bn: bool = True
     separable: bool = False
     quantized: bool = False
+    deconv_up: bool = False
 
     @nn.compact
     def __call__(self, x, **kw):
@@ -73,11 +81,18 @@ class Hourglass(nn.Module):
             lower2 = Hourglass(self.depth - 1, self.kernel_size,
                                self.dtype, self.axis_name, self.use_bn,
                                self.separable, self.quantized,
-                               name="inner")(lower1, **kw)
+                               self.deconv_up, name="inner")(lower1, **kw)
         else:
             lower2 = lower1
         lower3 = res("lower_out")(lower2, **kw)
-        upper2 = upsample_nearest_2x(lower3)
+        if self.deconv_up:
+            from densereg_tpu.models.ops import Deconv
+            upper2 = Deconv(lower3.shape[-1],
+                            kernel=(self.kernel_size, self.kernel_size),
+                            stride=2, activation=None, dtype=self.dtype,
+                            name="deconv_up")(lower3)
+        else:
+            upper2 = upsample_nearest_2x(lower3)
         out = as_float(upper1) + as_float(upper2)
         if self.quantized:
             return quantize_output(self, out, self.dtype)
@@ -106,6 +121,7 @@ class DenseRegNet(nn.Module):
                     axis_name=self.axis_name, use_bn=not c.fold_bn,
                     quantized=c.quantize)
         separable = c.net_module == "um_v1_lite"
+        deconv_up = c.net_module == "um_v1_deconv"
 
         def res(name, features=None):
             return Residual(features, kernel_size=c.kernel_size,
@@ -143,7 +159,8 @@ class DenseRegNet(nn.Module):
             sfx = f"_s{i}"
             hg = Hourglass(c.hourglass_depth, c.kernel_size, dtype,
                            self.axis_name, not c.fold_bn, separable,
-                           c.quantize, name="hg" + sfx)(hg_ins, **kw)
+                           c.quantize, deconv_up,
+                           name="hg" + sfx)(hg_ins, **kw)
             ll = res("ll_res" + sfx)(hg, **kw)
             ll = ConvBR(c.num_fea, (1, 1), name="ll_conv" + sfx, **bnkw)(ll, **kw)
 

@@ -8,6 +8,15 @@ subset; this module provides the full vocabulary as functional jnp/flax
 equivalents so code written against the reference op library has a direct
 target.  Layers that create parameters are flax Modules; stateless ops are
 plain functions.
+
+Product consumers: :class:`Deconv` is the learned upsampling of the
+``um_v1_deconv`` net variant (models/hourglass.py); ``ConvBR`` /
+``BatchRenorm`` / ``max_pool_same`` / ``upsample_nearest_2x`` are the
+re-exported core layers every variant uses.  The remainder
+(``DepthwiseConv``, ``Fc``, ``avg_pool``, ``dropout``, ``flatten``,
+``one_hot_encoding``, ``repeat_op``) is kept as tested reference-parity
+vocabulary — see COVERAGE.md "slim op vocabulary" for the explicit
+decision.
 """
 
 from __future__ import annotations

@@ -1,10 +1,13 @@
 """Loss/regularizer vocabulary (slim ``losses``,
 /root/reference/network/slim/losses.py).
 
-The training stack only uses the L2 pieces (``tf.nn.l2_loss`` on the three
-map heads + the 5e-4 conv-kernel regularizer); the rest of the reference's
-loss surface is provided for parity.  Unlike the reference there is no
-hidden LOSSES_COLLECTION — callers sum what they use.
+The training stack consumes :func:`l2_loss` (data term, ``--loss_type l2``
+default), :func:`l1_loss` (``--loss_type l1``) and :func:`l2_regularizer`
+(the 5e-4 conv-kernel weight decay) through
+``densereg_tpu.train.state.loss_fn``; ``cross_entropy_loss`` and
+``l1_l2_regularizer`` are kept as tested reference-parity vocabulary (see
+COVERAGE.md).  Unlike the reference there is no hidden LOSSES_COLLECTION —
+callers sum what they use.
 """
 
 from __future__ import annotations

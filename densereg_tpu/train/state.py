@@ -20,6 +20,7 @@ from densereg_tpu import augment, targets
 from densereg_tpu.config import NetConfig, TrainConfig
 from densereg_tpu.models import DenseRegNet, renorm_clip_schedule
 from densereg_tpu.preprocess import norm_dm
+from densereg_tpu.train import losses as loss_lib
 from densereg_tpu.train.lr import staircase_exponential_decay
 
 
@@ -85,13 +86,8 @@ def weight_decay_loss(params, weight_decay: float) -> jnp.ndarray:
         if any(str(getattr(p, "key", "")).startswith("inter_")
                for p in path):
             continue
-        total += jnp.sum(jnp.square(leaf.astype(jnp.float32)))
-    return 0.5 * weight_decay * total
-
-
-def _l2(a, b):
-    """``tf.nn.l2_loss``: sum of squares / 2 (NOT a mean)."""
-    return 0.5 * jnp.sum(jnp.square(a - b))
+        total += loss_lib.l2_regularizer(1.0)(leaf.astype(jnp.float32))
+    return weight_decay * total
 
 
 def loss_fn(params, batch_stats, apply_fn, batch, *, net_cfg: NetConfig,
@@ -136,9 +132,13 @@ def loss_fn(params, batch_stats, apply_fn, batch, *, net_cfg: NetConfig,
     outs, mutated = forward(params, batch_stats, normed_dms, r_max, d_max,
                             dropout_rng)
 
-    hm_loss = sum(_l2(est, gt["hm2"]) for est in outs["hm"])
-    hm3_loss = sum(_l2(est, gt["hm3"]) for est in outs["hm3"])
-    um_loss = sum(_l2(est, gt["um"]) for est in outs["um"])
+    # data-term loss: tf.nn.l2_loss semantics (sum of squares / 2, NOT a
+    # mean) by default; "l1" selects the slim vocabulary's l1_loss
+    data_loss = (loss_lib.l2_loss if tcfg.loss_type == "l2"
+                 else loss_lib.l1_loss)
+    hm_loss = sum(data_loss(est - gt["hm2"]) for est in outs["hm"])
+    hm3_loss = sum(data_loss(est - gt["hm3"]) for est in outs["hm3"])
+    um_loss = sum(data_loss(est - gt["um"]) for est in outs["um"])
     reg_loss = weight_decay_loss(params, tcfg.weight_decay)
     if axis_name is not None:
         reg_loss = reg_loss / jax.lax.axis_size(axis_name)

@@ -120,6 +120,39 @@ def test_lite_variant_smaller_and_runs():
     assert k.shape[2] == 1
 
 
+def test_deconv_variant_learned_upsampling_runs():
+    """um_v1_deconv: the hourglass upsamples with a learned stride-2
+    transposed conv (models/ops.Deconv — the slim `deconv` op the reference
+    ships but never wires into a network,
+    /root/reference/network/slim/ops.py:480-545) instead of nearest; same
+    heads and output contract, extra deconv parameters at every level."""
+    ref = _tiny_cfg(num_stack=1)
+    dec = _tiny_cfg(num_stack=1, net_module="um_v1_deconv")
+    x = jnp.zeros((1, 128, 128, 1))
+    pr = DenseRegNet(ref).init({"params": jax.random.key(0)}, x, train=False)
+    pd = DenseRegNet(dec).init({"params": jax.random.key(0)}, x, train=False)
+    n_ref = sum(p.size for p in jax.tree_util.tree_leaves(pr["params"]))
+    n_dec = sum(p.size for p in jax.tree_util.tree_leaves(pd["params"]))
+    assert n_dec > n_ref  # learned upsampling adds parameters
+    # one deconv per hourglass level (recursive): depth 4 at 128 input
+    hg = pd["params"]["hg_s0"]
+    levels = 0
+    while True:
+        assert "deconv_up" in hg, sorted(hg)
+        k = hg["deconv_up"]["ConvTranspose_0"]["kernel"]
+        assert k.shape[:2] == (dec.kernel_size, dec.kernel_size)
+        levels += 1
+        if "inner" not in hg:
+            break
+        hg = hg["inner"]
+    assert levels == dec.hourglass_depth
+    out = DenseRegNet(dec).apply(pd, x, train=False)
+    assert out["hm"][0].shape == (1, 32, 32, 4)
+    assert out["um"][0].shape == (1, 32, 32, 12)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for k in out for v in out[k])
+
+
 def test_max_pool_same_matches_reduce_window(rng):
     from densereg_tpu.models.layers import max_pool_same
     x = jnp.asarray(np.random.default_rng(3).normal(

@@ -51,6 +51,28 @@ def test_loss_components_finite(rng):
     assert float(metrics["reg_loss"]) > 0.0
 
 
+def test_loss_type_l1_vs_l2(rng):
+    """--loss_type selects the data-term loss from the slim loss vocabulary
+    (densereg_tpu/train/losses.py): default l2 is tf.nn.l2_loss semantics
+    (sum of squares / 2), l1 is sum(|x|); the regularizer term is
+    unaffected."""
+    import dataclasses
+
+    state = create_train_state(jax.random.key(0), NET, TCFG, 100.0)
+    batch = make_batch(rng, 1, 2)
+    kw = dict(net_cfg=NET, renorm_t=jnp.float32(0.0),
+              dropout_rng=jax.random.key(1))
+    _, (_, m2) = loss_fn(state.params, state.batch_stats, state.apply_fn,
+                         micro_batch(batch, 0), tcfg=TCFG, **kw)
+    tcfg_l1 = dataclasses.replace(TCFG, loss_type="l1")
+    _, (_, m1) = loss_fn(state.params, state.batch_stats, state.apply_fn,
+                         micro_batch(batch, 0), tcfg=tcfg_l1, **kw)
+    for k in ("hm_loss", "hm3_loss", "um_loss"):
+        assert np.isfinite(float(m1[k])) and float(m1[k]) > 0.0
+        assert not np.isclose(float(m1[k]), float(m2[k]))
+    np.testing.assert_allclose(float(m1["reg_loss"]), float(m2["reg_loss"]))
+
+
 def test_weight_decay_only_kernels():
     params = {
         "conv": {"kernel": jnp.ones((1, 1, 2, 2)), "bias": jnp.ones((2,)) * 100},
