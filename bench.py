@@ -26,7 +26,13 @@ accelerator was unreachable (relay outage — VERDICT r3 weak #2),
   "degraded": true
 so cross-round tooling never mistakes a fallback line for a throughput
 regression.  A deliberate CPU run (JAX_PLATFORMS=cpu from the caller) is
-NOT marked degraded; only the in-harness re-exec sets it.
+NOT marked degraded; only the in-harness re-exec sets it.  Likewise, when
+the host's 1-minute load average at capture start exceeds BENCH_LOAD_LIMIT
+x cpu_count (default 0.75 — another job is competing for the CPU that
+feeds the chip), the line carries
+  "contended": true, "load1": N
+(VERDICT r4 weak #5: round 4's run-2 eval-loop number was a contention
+artifact); BENCH_REFUSE_CONTENDED=1 exits(3) instead of measuring.
 
 On accelerators the object also carries secondary metrics (VERDICT r2
 item 6; BENCH_TRAIN=0 / BENCH_EVAL=0 disable):
@@ -316,7 +322,35 @@ def _devices_or_cpu_reexec(
               [sys.executable, os.path.abspath(__file__)], env)
 
 
+def _contention():
+    """Capture-hygiene guard (VERDICT r4 weak #5): a bench run on a host
+    that is simultaneously running other CPU-heavy work (e.g. the test
+    suite on this 1-core image) measures the CONTENTION, not the program —
+    round 4's run-2 artifact read 124 fps eval-loop for exactly this
+    reason.  The 1-minute load average is sampled at start; above
+    BENCH_LOAD_LIMIT x cpu_count (default 0.75) the JSON line carries
+    ``"contended": true`` plus the observed load, so no tooling can
+    mistake the capture for a regression.  BENCH_REFUSE_CONTENDED=1 makes
+    the harness exit(3) instead of measuring at all."""
+    try:
+        load1 = os.getloadavg()[0]
+    except (OSError, AttributeError):
+        return {}
+    ncpu = os.cpu_count() or 1
+    limit = float(os.environ.get("BENCH_LOAD_LIMIT", "0.75")) * ncpu
+    if load1 <= limit:
+        return {}
+    msg = (f"[bench] host contended at capture start: load1={load1:.2f} "
+           f"with {ncpu} cpu(s), limit {limit:.2f}")
+    if os.environ.get("BENCH_REFUSE_CONTENDED") == "1":
+        sys.stderr.write(msg + "; refusing to measure\n")
+        sys.exit(3)
+    sys.stderr.write(msg + "; marking the capture contended\n")
+    return {"contended": True, "load1": round(load1, 2)}
+
+
 def main():
+    contended = _contention()
     dev = _devices_or_cpu_reexec()[0]
 
     import jax
@@ -419,6 +453,7 @@ def main():
         "vs_baseline": round(vs, 2),
         "platform": dev.platform,
         **degraded,
+        **contended,
         **extras,
     }))
 

@@ -59,3 +59,29 @@ def test_bench_json_contract_degraded_and_healthy_cpu():
     out2 = _run_bench({})
     assert "degraded" not in out2, out2
     assert out2["platform"] == "cpu"
+
+
+@pytest.mark.slow
+def test_bench_contention_marker():
+    """Capture hygiene (VERDICT r4 #7): a bench started while the host is
+    CPU-contended must annotate its JSON line ("contended": true + the
+    observed load) so a run-2-style artifact can never be mistaken for a
+    regression; BENCH_REFUSE_CONTENDED=1 refuses to measure at all."""
+    # limit -1 makes ANY load contended; 9999 makes none (deterministic on
+    # any host, no need to synthesize real load)
+    out = _run_bench({"BENCH_LOAD_LIMIT": "-1"})
+    assert out["contended"] is True
+    assert out["load1"] >= 0.0
+    assert out["value"] > 0  # still measures and reports
+
+    out2 = _run_bench({"BENCH_LOAD_LIMIT": "9999"})
+    assert "contended" not in out2, out2
+
+    env = dict(os.environ, **TINY, BENCH_LOAD_LIMIT="-1",
+               BENCH_REFUSE_CONTENDED="1")
+    proc = subprocess.run([sys.executable, str(ROOT / "bench.py")],
+                          env=env, cwd=str(ROOT), capture_output=True,
+                          text=True, timeout=300)
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-500:])
+    assert "refusing to measure" in proc.stderr
+    assert not proc.stdout.strip()  # refusal emits NO json line
