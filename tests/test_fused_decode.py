@@ -89,6 +89,19 @@ def test_fused_matches_oracle_64x64_heads(rng, j):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_fused_matches_oracle_128x128_heads(rng):
+    """The 512-input depth-6 config's 128x128 decode maps (hw=16384 — a
+    third Mosaic tiling regime beyond hw=1024/4096; VERDICT r4 #5): clean
+    against the jnp oracle in interpret mode (the TPU-native compile +
+    timing row comes from tools/pallas_shape_bench.py --input 512)."""
+    hm, hm3, um, tiny, cfgs, coms = _scene(rng, b=1, j=16, in_hw=512)
+    ref = _oracle(hm, hm3, um, tiny, cfgs, coms)
+    got = np.asarray(fused_decode(hm, hm3, um, tiny, cfgs, coms,
+                                  interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_decode_poses_pallas_path(rng):
     """EvalConfig(use_pallas=True) routes through the fused kernel."""
     hm, hm3, um, tiny, cfgs, coms = _scene(rng, b=1)

@@ -45,6 +45,12 @@ SPECS = {
                          n_convs=145),
     "s1_f32_in256": dict(stack=1, fea=32, j=16, k=3, in_hw=256, hg_depth=5,
                          n_convs=None),
+    # 512-input: the last rung of the reference's depth rule (512 -> 6,
+    # um_v1.py:99-107) — exercised nowhere else (VERDICT r4 #5).  fea=16
+    # keeps the 1-core oracle pass tractable (the um head's fixed 256/512
+    # widths at 128x128 output spatial dominate regardless of fea).
+    "s1_f16_in512": dict(stack=1, fea=16, j=16, k=3, in_hw=512, hg_depth=6,
+                         n_convs=None),
 }
 
 
