@@ -259,5 +259,7 @@ def test_serve_probe_net_mode(capsys):
         rec = _json.loads(row)
         assert rec["inflight"] == depth and rec["requests"] == 4
         assert rec["fps"] > 0 and rec["p99_ms"] >= rec["p50_ms"]
-    # pipelined clients must actually micro-batch
+    # pipelined clients must actually micro-batch; row_mean_batch is the
+    # per-row delta (not diluted by the inflight-1 row or warmups)
+    assert _json.loads(rows[1])["row_mean_batch"] > 1.0
     assert _json.loads(rows[1])["server_mean_batch"] > 1.0

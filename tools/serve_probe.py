@@ -59,6 +59,12 @@ def run_probe(address: str, requests: int, inflight: int,
             raise SystemExit(f"server at {address} did not answer ping")
         # warm the program + client path
         c.predict(frame, bbx)
+        # snapshot cumulative server counters so this row reports ITS OWN
+        # coalescing, not the lifetime average (one self-hosted server
+        # serves the whole sweep — lifetime mean_batch is dragged down by
+        # the low-inflight rows; advisor r4 finding)
+        s0 = c.stats()
+        frames0 = s0["mean_batch"] * s0["batches"]
         t_submit = {}
         lat = []
         t0 = time.perf_counter()
@@ -77,6 +83,8 @@ def run_probe(address: str, requests: int, inflight: int,
         stats = c.stats()
 
     lat_ms = sorted(v * 1e3 for v in lat)
+    row_batches = stats["batches"] - s0["batches"]
+    row_frames = stats["mean_batch"] * stats["batches"] - frames0
     return {
         "requests": requests,
         "inflight": inflight,
@@ -84,6 +92,7 @@ def run_probe(address: str, requests: int, inflight: int,
         "p50_ms": round(_percentile(lat_ms, 0.50), 2),
         "p90_ms": round(_percentile(lat_ms, 0.90), 2),
         "p99_ms": round(_percentile(lat_ms, 0.99), 2),
+        "row_mean_batch": round(row_frames / max(row_batches, 1), 2),
         "server_mean_batch": round(stats["mean_batch"], 2),
         "server_batches": stats["batches"],
     }
