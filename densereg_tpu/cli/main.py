@@ -256,11 +256,15 @@ def _load_predictor(args):
     net, _ = _configs(args, test_spec.jnt_num)
     desc = model_desc(train_spec.name, train_spec.subset, net,
                       args.is_aug, args.net_module)
+    buckets = getattr(args, "batch_buckets", None)
+    if buckets:
+        buckets = tuple(int(v) for v in str(buckets).split(",") if v)
     return Predictor.from_checkpoint(
         os.path.join(args.base_dir, desc), net, test_spec.cfg,
         step=args.selected_step, max_batch=args.batch_size,
         quantize=args.quantize, use_ema=args.use_ema,
-        use_best=args.use_best, ema_decay=args.ema_decay)
+        use_best=args.use_best, ema_decay=args.ema_decay,
+        batch_buckets=buckets or None)
 
 
 def cmd_serve(args) -> int:
@@ -284,14 +288,21 @@ def cmd_serve(args) -> int:
     hw = getattr(pred, "frame_hw", None)
     if hw is None:
         hw = (int(pred.camera.h), int(pred.camera.w))
-    dummy_bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
     t0 = time.time()
-    np.asarray(pred(np.zeros((1,) + tuple(hw), np.float32), dummy_bbx))
-    if getattr(pred, "accepts_u16", hasattr(pred, "variables")):
-        # u16 requests keep integer depth in native width — a DIFFERENT
-        # traced/exported program, so compile it up front too
-        np.asarray(pred(np.zeros((1,) + tuple(hw), np.uint16), dummy_bbx))
-    print(f"[serve] compiled max_batch={pred.max_batch} frame_hw={hw} "
+    u16 = getattr(pred, "accepts_u16", hasattr(pred, "variables"))
+    if hasattr(pred, "warmup"):
+        # compiles every (batch bucket, dtype) executable — u16 requests
+        # keep integer depth in native width and are a DIFFERENT traced
+        # program, so they get their own compile up front too
+        pred.warmup(with_u16=u16)
+    else:  # exported artifacts: one fixed shape per entry point
+        dummy_bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
+        np.asarray(pred(np.zeros((1,) + tuple(hw), np.float32), dummy_bbx))
+        if u16:
+            np.asarray(pred(np.zeros((1,) + tuple(hw), np.uint16),
+                            dummy_bbx))
+    buckets = getattr(pred, "batch_buckets", (pred.max_batch,))
+    print(f"[serve] compiled buckets={list(buckets)} frame_hw={hw} "
           f"in {time.time() - t0:.1f}s")
 
     server = Server(pred, args.socket, window_ms=args.window_ms,
@@ -526,6 +537,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "8*max_batch; 0 = unbounded)")
     ps.add_argument("--stats_interval", type=float, default=30.0,
                     help="seconds between traffic log lines")
+    ps.add_argument("--batch_buckets", default=None,
+                    help="comma-separated dispatch-size ladder (e.g. "
+                         "1,8,64): each micro-batch is padded to the "
+                         "smallest bucket that fits instead of always to "
+                         "batch_size, so a lone request pays batch-1 "
+                         "device latency; one compile per bucket at "
+                         "startup (checkpoint-backed predictors only)")
     ps.add_argument("--selected_step", type=int, default=-1)
     ps.add_argument("--quantize", action="store_true",
                     help="serve the int8-weight graph")

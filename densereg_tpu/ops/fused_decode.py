@@ -175,6 +175,15 @@ def fused_decode(hms, hm3s, ums, tiny_dms, cfgs, coms, num_pt: int = 5,
     spec_com = pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
+    # Mosaic's default 16 MiB scoped-VMEM budget covers the temporaries up
+    # to 64x64 heads (hw=4096); the 512-input config's 128x128 heads
+    # (hw=16384) need ~19 MiB of stack for the (j, hw) intermediates, so
+    # raise the kernel's limit — one program (batch element) runs per core
+    # and v5e has 128 MiB of VMEM, so 64 MiB of scratch is safely below
+    # the physical budget (found by the native-compile check on hardware;
+    # interpret-mode tests can't see this limit).
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+              if hw > 4096 else None)
     out = pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, num_pt=num_pt, num_it=num_it,
                           inv_sigma=-1.0 / (2.0 * band_width * band_width)),
@@ -184,6 +193,7 @@ def fused_decode(hms, hm3s, ums, tiny_dms, cfgs, coms, num_pt: int = 5,
                   spec_jhw, spec_jhw, spec_dm],
         out_specs=pl.BlockSpec((1, j, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=params,
         interpret=interpret,
     )(cfgs.astype(f32).reshape(b, 1, 6), coms.astype(f32).reshape(b, 1, 3),
       hm_t, hm3_t, umx, umy, umz, dm_t)

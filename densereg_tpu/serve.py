@@ -9,7 +9,11 @@ fixed-shape device dispatches.  XLA compiles one executable per shape, so
 every dispatch is padded to the predictor's ``max_batch`` — one compiled
 program serves any request mix, and batching requests together rides the
 same HBM-roofline batch economics the offline bench measures
-(tools/latency_probe.py: the latency knee is at batch 64 on v5e).
+(tools/latency_probe.py: the latency knee is at batch 64 on v5e).  A
+predictor built with a ``batch_buckets`` ladder instead pads each dispatch
+to the smallest compiled bucket that fits, so a lone request under light
+load pays batch-1 device time (3.6 ms vs the knee's 7.2 ms) at the cost of
+one extra compile per bucket at startup.
 
 The device pipeline is double-buffered across micro-batches: the batcher
 thread pads + enqueues dispatch k+1 while the completer thread blocks on

@@ -11,7 +11,10 @@ Internally: static-shape crop (from bbox or provided pose), center-of-mass,
 depth normalization, the stacked hourglass (optionally with batch norm
 folded into the convs), and the vote/mean-shift decode — a single jitted
 program per batch size.  Inputs are padded to the configured max batch so
-one compiled executable serves any request size.
+one compiled executable serves any request size; an optional
+``batch_buckets`` ladder (e.g. ``(1, 8, 64)``) instead pads each dispatch
+to the smallest bucket that fits, trading a handful of extra compiles for
+batch-1 device latency on lone requests.
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ class Predictor:
     def __init__(self, variables, net_cfg: NetConfig, camera: CameraConfig,
                  max_batch: int = 64, ecfg: EvalConfig = EvalConfig(),
                  fold_bn: bool = True, mesh=None, quantize: bool = False,
-                 calibration=None):
+                 calibration=None, batch_buckets=None):
         if (fold_bn or quantize) and not net_cfg.fold_bn:
             variables = fold_batch_norm(variables, eps=net_cfg.bn_epsilon)
             net_cfg = dataclasses.replace(net_cfg, fold_bn=True)
@@ -63,6 +66,22 @@ class Predictor:
         self.net_cfg = net_cfg
         self.camera = camera
         self.max_batch = max_batch
+        # Dispatch-size ladder: requests are padded UP to the smallest
+        # bucket that fits instead of always to max_batch.  XLA compiles
+        # one executable per shape, so each bucket is one extra compile
+        # (warm them with ``warmup()``) — in exchange a lone request pays
+        # batch-1 device time, not max_batch's (tools/latency_probe.py:
+        # 3.6 ms at b=1 vs 7.2 ms at the b=64 knee on v5e).  max_batch is
+        # always a bucket so any chunk the chunker produces has a home.
+        if batch_buckets:
+            buckets = sorted({int(v) for v in batch_buckets} | {max_batch})
+            if buckets[0] < 1 or buckets[-1] > max_batch:
+                raise ValueError(
+                    f"batch_buckets must lie in [1, max_batch={max_batch}]; "
+                    f"got {sorted(batch_buckets)}")
+            self.batch_buckets = tuple(buckets)
+        else:
+            self.batch_buckets = (max_batch,)
         self.variables = variables
         self.mesh = mesh
         net = DenseRegNet(net_cfg)
@@ -159,11 +178,26 @@ class Predictor:
                      "batch_stats": payload["batch_stats"]}
         return cls(variables, net_cfg, camera, **kwargs)
 
+    def warmup(self, with_u16: bool = True) -> None:
+        """Compile every (bucket, dtype) serving executable up front so no
+        client request ever eats a cold compile (minutes over a remote
+        relay).  Blocks until the last program has run once."""
+        hw = (int(self.camera.h), int(self.camera.w))
+        bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
+        dtypes = (np.float32, np.uint16) if with_u16 else (np.float32,)
+        for bucket in self.batch_buckets:
+            for dt in dtypes:
+                np.asarray(self._dispatch(
+                    np.zeros((bucket,) + hw + (1,), dt),
+                    np.repeat(bbx, bucket, 0)))
+
     def _dispatch(self, frames: np.ndarray, bbxs: np.ndarray):
-        """Pad one chunk to max_batch and enqueue the jitted program
-        (asynchronous — returns the device result without blocking)."""
+        """Pad one chunk to the smallest batch bucket that fits and enqueue
+        the jitted program (asynchronous — returns the device result, which
+        has bucket rows, without blocking)."""
         b = frames.shape[0]
-        pad = self.max_batch - b
+        bucket = next(v for v in self.batch_buckets if v >= b)
+        pad = bucket - b
         if pad:
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
             bbxs = np.concatenate([bbxs, np.repeat(bbxs[-1:], pad, 0)])

@@ -76,6 +76,27 @@ def test_pipelined_requests_are_microbatched(pred, tmp_path, rng):
     assert st["mean_batch"] > 1.5, st
 
 
+def test_bucketed_predictor_through_daemon(tmp_path, rng):
+    """A batch_buckets predictor behind the daemon: lone requests dispatch
+    at the 1-bucket (result rows < max_batch) and answers still match the
+    direct predictor."""
+    net = DenseRegNet(NET)
+    variables = net.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, 32, 32, 1)), train=False)
+    p = Predictor(variables, NET, ICVL, max_batch=4, batch_buckets=(1, 2))
+    p.warmup(with_u16=False)
+    frames = _frames(rng, 3)
+    bbxs = np.tile(BBX, (3, 1))
+    want = p(frames, bbxs)
+    with Server(p, str(tmp_path / "bk.sock"), window_ms=0) as s:
+        with Client(s.address) as c:
+            got = np.stack([c.predict(f, BBX) for f in frames])
+            st = c.stats()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    # window_ms=0 + sequential predict: every dispatch was a lone request
+    assert st["batches"] == 3 and st["mean_batch"] == 1.0, st
+
+
 def test_semantic_error_keeps_connection_usable(server, rng):
     with Client(server.address) as c:
         c.submit(np.full((16, 16), 400, np.float32), BBX)

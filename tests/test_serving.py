@@ -106,6 +106,46 @@ def test_export_u16_entry_matches_live_and_f32(rng, tmp_path):
     assert os.path.getsize(path) > 1.5 * os.path.getsize(path32)
 
 
+def test_predictor_batch_buckets(rng):
+    """batch_buckets ladder: each dispatch pads to the SMALLEST bucket that
+    fits (lone requests pay batch-1 device time, not max_batch's), results
+    match the single-bucket predictor, and max_batch is always a bucket so
+    chunking still works."""
+    import pytest
+
+    variables = _variables()
+    pred = Predictor(variables, NET, ICVL, max_batch=8,
+                     batch_buckets=(1, 4))
+    assert pred.batch_buckets == (1, 4, 8)  # max_batch auto-included
+
+    frames = rng.uniform(300, 500, (3, 240, 320)).astype(np.float32)
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    # the dispatch result has bucket rows: 3 requests ride the 4-bucket,
+    # a lone request rides the 1-bucket
+    assert np.asarray(
+        pred._dispatch(frames[..., None], bbxs)).shape[0] == 4
+    assert np.asarray(
+        pred._dispatch(frames[:1][..., None], bbxs[:1])).shape[0] == 1
+
+    ref = Predictor(variables, NET, ICVL, max_batch=8)
+    np.testing.assert_allclose(pred(frames, bbxs), ref(frames, bbxs),
+                               rtol=1e-5, atol=1e-5)
+    # chunked request > max_batch still round-trips through the ladder
+    frames9 = np.concatenate([frames] * 3)
+    bbxs9 = np.concatenate([bbxs] * 3)
+    np.testing.assert_allclose(pred(frames9, bbxs9), ref(frames9, bbxs9),
+                               rtol=1e-5, atol=1e-5)
+
+    # warmup compiles every remaining (bucket, dtype) program and returns
+    pred.warmup(with_u16=False)
+
+    # buckets outside [1, max_batch] are rejected up front
+    with pytest.raises(ValueError, match="batch_buckets"):
+        Predictor(variables, NET, ICVL, max_batch=4, batch_buckets=(6,))
+    # default stays single-bucket
+    assert ref.batch_buckets == (8,)
+
+
 def test_predictor_uint16_request_matches_float32(rng):
     """Serving accepts uint16 depth frames (half the transfer bytes); the
     on-device cast must reproduce the float32 request exactly."""

@@ -57,9 +57,16 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--net", default="um_v1",
-                    help="architecture variant: um_v1 | um_v1_lite")
+                    help="architecture variant: um_v1 | um_v1_lite | "
+                         "um_v1_deconv")
     ap.add_argument("--input", type=int, default=128,
                     help="crop size (128/256/512; sets hourglass depth)")
+    ap.add_argument("--train_batch", type=int, default=40,
+                    help="--train: per-sub-batch size (reference default "
+                         "40; at --input 512 the 40x5 step's remat'd "
+                         "activations exceed the 16 GB HBM — use 8)")
+    ap.add_argument("--train_sub", type=int, default=5,
+                    help="--train: accumulation sub-batches")
     args = ap.parse_args()
     IN = args.input
 
@@ -113,7 +120,8 @@ def main():
 
     if args.train:
         from densereg_tpu.train import create_train_state, make_train_step
-        tcfg = TrainConfig(batch_size=40, sub_batch=5, augment=True)
+        tcfg = TrainConfig(batch_size=args.train_batch,
+                           sub_batch=args.train_sub, augment=True)
         state = create_train_state(jax.random.key(0), net_cfg, tcfg, 1e6)
         step_fn = make_train_step(net_cfg, tcfg, donate=False)
         sub, bb = tcfg.sub_batch, tcfg.batch_size

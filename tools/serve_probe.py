@@ -98,7 +98,8 @@ def run_probe(address: str, requests: int, inflight: int,
     }
 
 
-def _net_predictor(desc: str, max_batch: int, quantize: bool):
+def _net_predictor(desc: str, max_batch: int, quantize: bool,
+                   batch_buckets=None):
     """Random-init Predictor at a named production config (serving latency
     and throughput do not depend on the weight values, so this probes the
     daemon on hardware without a trained checkpoint).  ``desc`` is
@@ -123,7 +124,7 @@ def _net_predictor(desc: str, max_batch: int, quantize: bool):
     variables = net.init({"params": jax.random.key(0)},
                          jnp.zeros((1, 128, 128, 1)), train=False)
     return Predictor(variables, net_cfg, icvl, max_batch=max_batch,
-                     quantize=quantize)
+                     quantize=quantize, batch_buckets=batch_buckets)
 
 
 def main(argv=None) -> int:
@@ -140,6 +141,10 @@ def main(argv=None) -> int:
                     help="--net mode: server-side micro-batch capacity")
     ap.add_argument("--quantize", action="store_true",
                     help="--net mode: serve the int8-weight graph")
+    ap.add_argument("--batch_buckets", default=None,
+                    help="--net mode: comma-separated dispatch-size ladder "
+                         "(e.g. 1,8,64); lone requests ride the smallest "
+                         "bucket instead of padding to max_batch")
     ap.add_argument("--requests", type=int, default=512)
     ap.add_argument("--inflight", type=int, default=None, nargs="+",
                     help="pipelining depth(s) to sweep (default: 1, "
@@ -166,15 +171,23 @@ def main(argv=None) -> int:
                 pred = load_exported(args.artifact)
                 h, w = pred.frame_hw
             else:
+                buckets = (tuple(int(v) for v in
+                                 args.batch_buckets.split(",") if v)
+                           if args.batch_buckets else None)
                 pred = _net_predictor(args.net, args.max_batch,
-                                      args.quantize)
+                                      args.quantize, buckets)
                 h, w = int(pred.camera.h), int(pred.camera.w)
             # compile before timing anything (both wire dtypes where the
-            # predictor accepts u16 natively — a second program)
-            bbx1 = np.asarray([[0, 0, h, w, 600.0]], np.float32)
-            pred(np.zeros((1, h, w), np.float32), bbx1)
-            if getattr(pred, "accepts_u16", hasattr(pred, "variables")):
-                pred(np.zeros((1, h, w), np.uint16), bbx1)
+            # predictor accepts u16 natively — a second program; bucketed
+            # predictors compile one program per (bucket, dtype))
+            if hasattr(pred, "warmup"):
+                pred.warmup()
+            else:
+                bbx1 = np.asarray([[0, 0, h, w, 600.0]], np.float32)
+                pred(np.zeros((1, h, w), np.float32), bbx1)
+                if getattr(pred, "accepts_u16",
+                           hasattr(pred, "variables")):
+                    pred(np.zeros((1, h, w), np.uint16), bbx1)
             address = tempfile.mktemp(prefix="densereg_probe_",
                                       suffix=".sock")
             server = Server(pred, address, window_ms=args.window_ms)
