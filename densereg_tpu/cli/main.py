@@ -227,15 +227,19 @@ def cmd_export(args) -> int:
     desc = model_desc(train_spec.name, train_spec.subset, net, args.is_aug,
                       args.net_module)
     train_dir = os.path.join(args.base_dir, desc)
+    buckets = (tuple(int(v) for v in args.batch_buckets.split(",") if v)
+               if args.batch_buckets else None)
     pred = Predictor.from_checkpoint(
         train_dir, net, test_spec.cfg, step=args.selected_step,
         max_batch=args.batch_size, quantize=args.quantize,
         use_ema=args.use_ema, use_best=args.use_best,
-        ema_decay=args.ema_decay)
+        ema_decay=args.ema_decay, batch_buckets=buckets)
     out = args.out or f"{desc}.drexpt"
     export_predictor(pred, out, platforms=tuple(args.platforms.split(",")))
     print(f"[export] wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
-          f"max_batch={args.batch_size}, platforms={args.platforms})")
+          f"max_batch={args.batch_size}, "
+          f"buckets={list(pred.batch_buckets)}, "
+          f"platforms={args.platforms})")
     return 0
 
 
@@ -276,31 +280,20 @@ def cmd_serve(args) -> int:
     /root/reference/model/test_model.py per evaluation)."""
     import signal
 
-    import numpy as np
-
     from densereg_tpu.serve import Server
 
     pred = _load_predictor(args)
 
-    # warm up: compile the fixed-shape serving program BEFORE accepting
-    # traffic so the first client never eats the (minutes-long on a remote
-    # relay) compile inside its request latency
+    # warm up: compile/run every (batch bucket, dtype) serving program
+    # BEFORE accepting traffic so the first client never eats a cold
+    # compile (minutes-long on a remote relay) inside its request latency —
+    # u16 requests keep integer depth in native width and are a DIFFERENT
+    # traced/exported program, so they get their own warmup too
     hw = getattr(pred, "frame_hw", None)
     if hw is None:
         hw = (int(pred.camera.h), int(pred.camera.w))
     t0 = time.time()
-    u16 = getattr(pred, "accepts_u16", hasattr(pred, "variables"))
-    if hasattr(pred, "warmup"):
-        # compiles every (batch bucket, dtype) executable — u16 requests
-        # keep integer depth in native width and are a DIFFERENT traced
-        # program, so they get their own compile up front too
-        pred.warmup(with_u16=u16)
-    else:  # exported artifacts: one fixed shape per entry point
-        dummy_bbx = np.asarray([[0, 0, hw[0], hw[1], 500.0]], np.float32)
-        np.asarray(pred(np.zeros((1,) + tuple(hw), np.float32), dummy_bbx))
-        if u16:
-            np.asarray(pred(np.zeros((1,) + tuple(hw), np.uint16),
-                            dummy_bbx))
+    pred.warmup(with_u16=pred.accepts_u16)
     buckets = getattr(pred, "batch_buckets", (pred.max_batch,))
     print(f"[serve] compiled buckets={list(buckets)} frame_hw={hw} "
           f"in {time.time() - t0:.1f}s")
@@ -487,6 +480,12 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--ema_decay", type=float, default=None)
     px.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets")
+    px.add_argument("--batch_buckets", default=None,
+                    help="comma-separated dispatch-size ladder to embed "
+                         "(e.g. 1,8,64): the artifact carries one program "
+                         "per (bucket, dtype) so exported-artifact servers "
+                         "keep the lone-request latency win; each program "
+                         "adds roughly one weights-worth of bytes")
     px.add_argument("--out", default=None,
                     help="output path (default <model-desc>.drexpt)")
     px.set_defaults(fn=cmd_export)

@@ -106,6 +106,68 @@ def test_export_u16_entry_matches_live_and_f32(rng, tmp_path):
     assert os.path.getsize(path) > 1.5 * os.path.getsize(path32)
 
 
+def test_export_batch_bucket_ladder(rng, tmp_path):
+    """A bucketed Predictor exports one program per (bucket, dtype); the
+    loaded artifact dispatches lone requests at the 1-bucket (result rows <
+    max_batch) and reproduces the live predictor on every path (f32/u16,
+    lone/chunked)."""
+    import os
+
+    from densereg_tpu.export import export_predictor, load_exported
+
+    pred = Predictor(_variables(), NET, ICVL, max_batch=4,
+                     batch_buckets=(1,))
+    path = str(tmp_path / "ladder.drexpt")
+    export_predictor(pred, path, platforms=("cpu",))
+    loaded = load_exported(path)
+    assert loaded.batch_buckets == (1, 4)  # predictor ladder carried over
+    assert loaded.accepts_u16
+
+    # lone request rides the 1-bucket program, not max_batch padding
+    frames = np.round(rng.uniform(300, 500, (3, 240, 320)))
+    bbxs = np.tile(np.array([60, 80, 200, 260, 600], np.float32), (3, 1))
+    f32 = frames.astype(np.float32)
+    assert np.asarray(
+        loaded._dispatch(f32[:1][..., None], bbxs[:1])).shape[0] == 1
+    assert np.asarray(
+        loaded._dispatch(f32[..., None], bbxs)).shape[0] == 4
+
+    want = pred(f32, bbxs)
+    np.testing.assert_array_equal(loaded(f32, bbxs), want)
+    np.testing.assert_array_equal(loaded(f32[:1], bbxs[:1]), want[:1])
+    np.testing.assert_array_equal(
+        loaded(frames.astype(np.uint16), bbxs), want)
+    # chunked request > max_batch through the embedded ladder
+    np.testing.assert_array_equal(
+        loaded(np.concatenate([f32] * 3), np.concatenate([bbxs] * 3)),
+        np.concatenate([want] * 3))
+
+    # warmup touches every embedded program and returns
+    loaded.warmup()
+
+    # ladder can also be requested at export time without a bucketed
+    # predictor, and each rung costs ~one weights-worth of bytes
+    flat = Predictor(_variables(), NET, ICVL, max_batch=4)
+    base = str(tmp_path / "flat.drexpt")
+    export_predictor(flat, base, platforms=("cpu",), u16=False)
+    path2 = str(tmp_path / "ladder2.drexpt")
+    export_predictor(flat, path2, platforms=("cpu",), u16=False,
+                     batch_buckets=(1, 2))
+    l2 = load_exported(path2)
+    assert l2.batch_buckets == (1, 2, 4) and not l2.accepts_u16
+    np.testing.assert_array_equal(l2(f32, bbxs), flat(f32, bbxs))
+    assert os.path.getsize(path2) > 2.2 * os.path.getsize(base)
+
+    # a corrupted bucket blob (past the legacy region) is still caught
+    import pytest
+    raw = bytearray(open(path2, "rb").read())
+    raw[-10] ^= 0xFF
+    corrupt = tmp_path / "corrupt_ladder.drexpt"
+    corrupt.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="corrupted"):
+        load_exported(str(corrupt))
+
+
 def test_predictor_batch_buckets(rng):
     """batch_buckets ladder: each dispatch pads to the SMALLEST bucket that
     fits (lone requests pay batch-1 device time, not max_batch's), results

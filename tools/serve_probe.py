@@ -177,17 +177,11 @@ def main(argv=None) -> int:
                 pred = _net_predictor(args.net, args.max_batch,
                                       args.quantize, buckets)
                 h, w = int(pred.camera.h), int(pred.camera.w)
-            # compile before timing anything (both wire dtypes where the
-            # predictor accepts u16 natively — a second program; bucketed
-            # predictors compile one program per (bucket, dtype))
-            if hasattr(pred, "warmup"):
-                pred.warmup()
-            else:
-                bbx1 = np.asarray([[0, 0, h, w, 600.0]], np.float32)
-                pred(np.zeros((1, h, w), np.float32), bbx1)
-                if getattr(pred, "accepts_u16",
-                           hasattr(pred, "variables")):
-                    pred(np.zeros((1, h, w), np.uint16), bbx1)
+            # compile/run every (bucket, dtype) program before timing
+            # anything (u16 is a second program where the predictor
+            # accepts it natively; bucketed predictors and bucket-ladder
+            # artifacts have one program per rung)
+            pred.warmup(with_u16=pred.accepts_u16)
             address = tempfile.mktemp(prefix="densereg_probe_",
                                       suffix=".sock")
             server = Server(pred, address, window_ms=args.window_ms)
